@@ -1,0 +1,131 @@
+"""ULTRA-TPU driver CLI.
+
+Flag-compatible with the reference's driver (ref ``main.py:24-62``):
+
+    python main.py --data_dir=./tests/data/ --setting_file=... \
+        --model_dir=./model/ --max_train_iteration=1000
+
+Train loop semantics mirror ref ``main.py:151-223`` (periodic validation,
+best-objective checkpointing, divergence stop); ``--test_only`` mirrors
+ref ``main.py:230-292`` (metrics + TREC ranklist output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+# Optional platform override (e.g. ULTRA_PLATFORM=cpu for local debugging);
+# the deployment environment may register its TPU backend programmatically,
+# so an env-var JAX_PLATFORMS override alone is not reliable.
+if os.environ.get("ULTRA_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["ULTRA_PLATFORM"])
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="ULTRA-TPU")
+    p.add_argument("--data_dir", type=str, default="./tests/data/")
+    p.add_argument("--model_dir", type=str, default="./tmp_model/")
+    p.add_argument("--output_dir", type=str, default="./tmp_output/")
+    p.add_argument("--setting_file", type=str, default="./example/offline_setting/dla_exp_settings.json")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--data_format", type=str, default="ULTRA",
+                   choices=["ULTRA", "ULTRE"])
+    p.add_argument("--click_model_dir", type=str, default=None)
+    p.add_argument("--max_list_cutoff", type=int, default=0,
+                   help="0 = no cutoff on candidate lists")
+    p.add_argument("--selection_bias_cutoff", type=int, default=10,
+                   help="top-k positions subject to selection bias")
+    p.add_argument("--max_train_iteration", type=int, default=10000)
+    p.add_argument("--start_checkpoint", type=str, default="")
+    p.add_argument("--steps_per_checkpoint", type=int, default=50)
+    p.add_argument("--test_while_train", action="store_true")
+    p.add_argument("--test_only", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_experiment(args, splits):
+    from ultra_pytorch_tpu.run.experiment import Experiment
+
+    with open(args.setting_file) as fin:
+        exp_settings = json.load(fin)
+    if args.selection_bias_cutoff > 0:
+        exp_settings.setdefault("selection_bias_cutoff",
+                                args.selection_bias_cutoff)
+    if args.click_model_dir:
+        exp_settings["click_model_dir"] = args.click_model_dir
+    exp = Experiment(
+        exp_settings, args.data_dir, args.model_dir,
+        batch_size=args.batch_size, data_format=args.data_format,
+        seed=args.seed,
+        rank_cut=args.max_list_cutoff if args.max_list_cutoff > 0 else None)
+    exp.setup(splits=splits)
+    return exp
+
+
+def train(args):
+    exp = build_experiment(args, splits=("train", "valid"))
+    exp.init_state()
+    if exp.restore():
+        print(f"Restored checkpoint from {exp.ckpt_path}")
+
+    objective = exp.exp_settings.get("objective_metric", "ndcg_10")
+    best = None
+    step = 0
+    while step < args.max_train_iteration:
+        window = min(args.steps_per_checkpoint,
+                     args.max_train_iteration - step)
+        t0 = time.time()
+        metrics = exp.train_steps(window)
+        dt = time.time() - t0
+        step += window
+        qps = window * args.batch_size / dt
+        summary = exp.validate("valid")
+        obj = summary.get(objective)
+        line = ", ".join(f"{k}={v:.5f}" for k, v in sorted(summary.items()))
+        print(f"step {step} loss {metrics.get('loss', float('nan')):.5f} "
+              f"({qps:.0f} queries/s) | {line}", flush=True)
+        if obj is not None and (best is None or obj > best):
+            best = obj
+            exp.save({"step": step, objective: obj})
+            print(f"  saved checkpoint ({objective}={obj:.5f})")
+        if metrics.get("loss") is not None and not (
+                metrics["loss"] == metrics["loss"]) or metrics.get(
+                    "loss") in (float("inf"),):
+            print("Divergence detected (loss inf/nan); stopping.")
+            break
+    if best is None:
+        exp.save({"step": step})
+    print(f"Training done at step {step}; best {objective}={best}")
+
+
+def test(args):
+    exp = build_experiment(args, splits=("test",))
+    exp.init_state()
+    if not exp.restore():
+        print("WARNING: no checkpoint found; testing from random init")
+    summary = exp.validate("test")
+    for k in sorted(summary):
+        print(f"{k}: {summary[k]:.5f}")
+    os.makedirs(args.output_dir, exist_ok=True)
+    path, _ = exp.write_ranklist("test", args.output_dir)
+    print(f"Wrote {path}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.model_dir, exist_ok=True)
+    if args.test_only:
+        test(args)
+    else:
+        train(args)
+
+
+if __name__ == "__main__":
+    main()

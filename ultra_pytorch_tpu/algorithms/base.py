@@ -1,0 +1,168 @@
+"""Learning-algorithm protocol: ``(init_state, train_step, score)`` triples.
+
+Replaces the reference's stateful ``BaseAlgorithm`` OO protocol
+(ref ``ultra/learning_algorithm/base_algorithm.py:32-87``: mutable
+``self.loss``/``self.labels``, per-step feed dicts, in-place optimizers) with
+pure functions over a single :class:`TrainState` pytree:
+
+  * ``init_state(rng, feature_size)``      -> TrainState
+  * ``train_step(state, batch, rng)``      -> (TrainState, metrics dict)
+  * ``score(state, batch)``                -> [B, L] ranking scores
+
+``train_step`` is jitted (and sharded by ``parallel/``) as one XLA program.
+ALL auxiliary algorithm state — DLA's propensity tower, Regression-EM's
+propensity vector, PairwiseDebias' t+/t-, NSGD's bad-noise memory — lives in
+``TrainState.aux`` so checkpoints capture the complete training state (the
+reference loses everything but the ranker on resume, ref ``main.py:198-214``).
+
+Common boilerplate the reference repeats per algorithm (hparams parse, cuda
+detection, optimizer select, validation metric block — e.g. ``dla.py:268-285``
+vs ``navie_algorithm.py:122-149``) is centralized here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ultra_pytorch_tpu.metrics import ranking as metrics_lib
+from ultra_pytorch_tpu.ops import losses
+from ultra_pytorch_tpu.utils.hparams import HParams
+
+PADDING_SCORE = metrics_lib.PADDING_SCORE
+
+
+@struct.dataclass
+class TrainState:
+    params: Any                 # ranker params pytree
+    opt_state: Any
+    aux: Any                    # algorithm-specific state pytree (or None)
+    step: jax.Array             # scalar int32
+
+
+def make_optimizer(grad_strategy: str, learning_rate: float,
+                   max_gradient_norm: float) -> optax.GradientTransformation:
+    """Optimizer select (ref per-algo ``grad_strategy`` 'ada'|'sgd', e.g.
+    ``dla.py:127-129``) with torch-matching Adagrad defaults
+    (initial_accumulator_value=0, eps=1e-10) and the reference's
+    clip-by-global-norm (ref ``base_algorithm.py:223-225``)."""
+    if grad_strategy == "sgd":
+        opt = optax.sgd(learning_rate)
+    else:
+        opt = optax.adagrad(learning_rate, initial_accumulator_value=0.0,
+                            eps=1e-10)
+    if max_gradient_norm and max_gradient_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(max_gradient_norm), opt)
+    return opt
+
+
+class BaseAlgorithm:
+    """Shared construction + eval logic for all learning algorithms."""
+
+    name = "base"
+
+    def __init__(self, ranker, exp_settings: Dict[str, Any],
+                 max_label: float = 1.0):
+        """Args:
+          ranker: a models.BaseRanker instance.
+          exp_settings: experiment dict (same schema as the reference's,
+            ref ``example/offline_setting/*.json`` + runtime-injected
+            ``max_candidate_num`` / ``selection_bias_cutoff``).
+        """
+        self.ranker = ranker
+        self.exp_settings = exp_settings
+        self.max_label = max_label
+        self.max_candidate_num = exp_settings["max_candidate_num"]
+        self.rank_list_size = exp_settings.get(
+            "selection_bias_cutoff", self.max_candidate_num)
+        self.hparams = HParams(**self.default_hparams())
+        self.hparams.parse(exp_settings.get("learning_algorithm_hparams", ""))
+        self.loss_fn = losses.LOSS_FUNCTIONS.get(
+            self.hparams.get("loss_func", "softmax_loss"),
+            losses.softmax_loss)
+        # Cross-replica reducer bound by parallel.make_dp_train_step; applied
+        # to gradients AND batch-statistic state updates (REM / PD / etc.).
+        self.grad_sync = None
+
+    # -- to override ------------------------------------------------------
+    def default_hparams(self) -> Dict[str, Any]:
+        return {
+            "learning_rate": 0.05,
+            "max_gradient_norm": 5.0,
+            "loss_func": "softmax_loss",
+            "l2_loss": 0.0,
+            "grad_strategy": "ada",
+        }
+
+    def init_state(self, rng: jax.Array, feature_size: int) -> TrainState:
+        params = self.ranker.init(rng, feature_size)
+        opt = self.optimizer()
+        return TrainState(params=params, opt_state=opt.init(params),
+                          aux=None, step=jnp.zeros((), jnp.int32))
+
+    def train_step(self, state: TrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        raise NotImplementedError
+
+    # -- shared helpers ---------------------------------------------------
+    def optimizer(self) -> optax.GradientTransformation:
+        return make_optimizer(self.hparams.get("grad_strategy", "ada"),
+                              float(self.hparams.get("learning_rate", 0.05)),
+                              float(self.hparams.get("max_gradient_norm", 5.0)))
+
+    def score(self, state: TrainState, batch: Dict[str, jax.Array]
+              ) -> jax.Array:
+        """Eval-mode scoring of a full candidate list."""
+        return self.ranker.apply(state.params, batch["features"],
+                                 batch.get("mask"), is_training=False)
+
+    def score_with_params(self, params, batch: Dict[str, jax.Array],
+                          is_training: bool = True) -> jax.Array:
+        return self.ranker.apply(params, batch["features"],
+                                 batch.get("mask"), is_training=is_training)
+
+    def validation_metrics(self, state: TrainState,
+                           batch: Dict[str, jax.Array]
+                           ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Scores + the experiment's `metrics x metrics_topn` summary
+        (the block every reference algorithm repeats,
+        e.g. ``dla.py:268-285``)."""
+        output = self.score(state, batch)
+        summary = metrics_lib.evaluate(
+            batch["labels"], output,
+            self.exp_settings.get("metrics", ["mrr", "ndcg"]),
+            self.exp_settings.get("metrics_topn", [3, 5, 10]),
+            max_label=self.max_label, mask=batch.get("mask"))
+        return output, summary
+
+    def l2_penalty(self, params) -> jax.Array:
+        l2 = float(self.hparams.get("l2_loss", 0.0))
+        if l2 > 0:
+            return l2 * losses.l2_loss(params)
+        return jnp.zeros(())
+
+    def sync(self, tree):
+        """Cross-replica mean under data parallelism; identity otherwise."""
+        if self.grad_sync is not None:
+            return self.grad_sync(tree)
+        return tree
+
+    def apply_updates(self, opt, params, opt_state, grads):
+        grads = self.sync(grads)
+        updates, new_opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state
+
+    def train_slice(self, batch: Dict[str, jax.Array]
+                    ) -> Dict[str, jax.Array]:
+        """Cut a batch to the top-``rank_list_size`` training list
+        (the reference's selection_bias_cutoff slicing,
+        ref ``base_algorithm.py:130-131``)."""
+        L = self.rank_list_size
+        if batch["labels"].shape[1] <= L:
+            return batch
+        return {k: (v[:, :L] if v.ndim >= 2 else v)
+                for k, v in batch.items()}

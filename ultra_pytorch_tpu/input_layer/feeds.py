@@ -1,0 +1,295 @@
+"""Input feeds: pure on-device batch builders.
+
+Capability parity with ref ``ultra/input_layer/`` (BaseInputFeed +
+ClickSimulationFeed + Deterministic/StochasticOnlineSimulationFeed +
+DirectLabelFeed), re-architected for TPU:
+
+  * the reference assembles feed dicts on the host with numpy every step
+    (ref ``click_simulation_feed.py:122-163``) and the *online* feeds invert
+    control by calling back up into the algorithm
+    (``model.validation(input_feed, True)``,
+    ref ``stochastic_online_simulation_feed.py:100-113``);
+  * here every feed exposes ``train_batch(rng, state) -> batch`` — a pure
+    jittable function over the device-resident dataset, where ``state`` is
+    the algorithm TrainState (online feeds score with the CURRENT ranker
+    inside the same XLA program; SURVEY.md §3.4's inversion).
+
+Batch layout: ``{"features": [B, L, F], "labels": [B, L], "mask": [B, L],
+"initial_scores": [B, L]}``; for click feeds ``labels`` are sampled clicks.
+
+Rejection-resampling semantics (ref resample-until-click loops,
+``click_simulation_feed.py:89-91``, ``stochastic_...py:162-169``) become
+fixed-K batched resampling: K rounds of fresh draws keep the first valid
+sample; lists still clickless after K rounds are masked out of the loss
+(documented divergence — no data-dependent while loops under jit).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultra_pytorch_tpu.data.dataset import DeviceDataset
+from ultra_pytorch_tpu.sim import click_models as cm
+from ultra_pytorch_tpu.sim.sampling import (
+    deterministic_rank, plackett_luce_sample, rerank)
+from ultra_pytorch_tpu.utils.hparams import HParams
+from ultra_pytorch_tpu.utils.registry import register
+
+Batch = Dict[str, jax.Array]
+
+
+def _take(dev: DeviceDataset, qs: jax.Array) -> Batch:
+    return dev.gather(qs)
+
+
+class BaseInputFeed:
+    """Shared feed plumbing (ref ``base_input_feed.py:10-93``)."""
+
+    MAX_SAMPLE_ROUND_NUM = 100
+
+    def __init__(self, algorithm, batch_size: int, hparam_str: str,
+                 dataset: DeviceDataset, list_size: Optional[int] = None):
+        self.algorithm = algorithm
+        self.batch_size = batch_size
+        self.dataset = dataset
+        self.list_size = list_size or dataset.list_size
+        self.rank_list_size = getattr(
+            algorithm, "rank_list_size", self.list_size)
+        self.hparams = HParams(**self.default_hparams())
+        self.hparams.parse(hparam_str or "")
+
+    def default_hparams(self) -> Dict[str, Any]:
+        return {}
+
+    @staticmethod
+    def preprocess_data(data_set, hparam_str, exp_settings):
+        """Static preprocessing hook (no-op, ref ``base_input_feed.py:17-26``)."""
+        return data_set
+
+    # -- training ---------------------------------------------------------
+    def train_batch(self, rng: jax.Array, state) -> Batch:
+        raise NotImplementedError
+
+    # -- evaluation -------------------------------------------------------
+    def eval_batches(self, rng: Optional[jax.Array] = None
+                     ) -> Iterator[Tuple[Batch, int, int]]:
+        """Sequential batches over the whole dataset (ref get_next_batch).
+        Yields (batch, start_index, count)."""
+        q = self.dataset.num_queries
+        for start in range(0, q, self.batch_size):
+            count = min(self.batch_size, q - start)
+            qs = jnp.arange(start, start + count)
+            yield _take(self.dataset, qs), start, count
+
+
+@register("feed", "DirectLabelFeed",
+          aliases=["ultra.input_layer.DirectLabelFeed"])
+class DirectLabelFeed(BaseInputFeed):
+    """Feed true relevance labels (ref ``direct_label_feed.py:22-284``)."""
+
+    def default_hparams(self):
+        return {"use_max_candidate_num": True}
+
+    def train_batch(self, rng: jax.Array, state) -> Batch:
+        qs = jax.random.randint(rng, (self.batch_size,), 0,
+                                self.dataset.num_queries)
+        return _take(self.dataset, qs)
+
+
+class _ClickFeedMixin:
+    """Shared click-model plumbing for simulation feeds."""
+
+    def _load_click_model(self):
+        self.click_model = None
+        if not self.hparams.oracle_mode:
+            path = self.hparams.click_model_json
+            if not os.path.isfile(path):
+                raise FileNotFoundError(f"click model json not found: {path}")
+            self.click_model = cm.load_model_from_file(path)
+
+    def _eta_at_step(self, step: jax.Array) -> jax.Array:
+        """Dynamic bias severity schedule
+        (ref ``click_simulation_feed.py:166-172``): every
+        `dynamic_bias_step_interval` batches eta grows by
+        `dynamic_bias_eta_change`. Computed from the step counter so it is
+        stateless and jit-safe."""
+        base = self.click_model.eta
+        change = float(self.hparams.dynamic_bias_eta_change)
+        if change == 0.0:
+            return base
+        interval = int(self.hparams.dynamic_bias_step_interval)
+        return base + (step // interval).astype(jnp.float32) * change
+
+    def _model_at_step(self, step):
+        if self.click_model is None:
+            return None
+        return self.click_model.replace(eta=self._eta_at_step(step))
+
+
+@register("feed", "ClickSimulationFeed",
+          aliases=["ultra.input_layer.ClickSimulationFeed"])
+class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
+    """Offline click simulation on the fixed initial ranking
+    (ref ``click_simulation_feed.py:24-294``)."""
+
+    RESAMPLE_ROUNDS = 8  # query redraw rounds for check_validation
+
+    def default_hparams(self):
+        return {
+            "click_model_json": "./example/ClickModel/pbm_0.1_1.0_4_1.0.json",
+            "oracle_mode": False,
+            "dynamic_bias_eta_change": 0.0,
+            "dynamic_bias_step_interval": 1000,
+        }
+
+    def __init__(self, *args, check_validation: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.check_validation = check_validation
+        self._load_click_model()
+
+    def _simulate(self, model, rng, qs) -> Tuple[Batch, jax.Array]:
+        L = self.rank_list_size
+        batch = self.dataset.gather(qs, list_size=L)
+        labels, mask = batch["labels"], batch["mask"]
+        if self.hparams.oracle_mode:
+            clicks = labels * mask
+        else:
+            clicks, _, _ = cm.sample_clicks(model, rng, labels, mask)
+        has_click = (clicks.sum(axis=1) > 0)
+        batch = dict(batch)
+        batch["labels"] = clicks
+        return batch, has_click
+
+    def train_batch(self, rng: jax.Array, state) -> Batch:
+        model = self._model_at_step(state.step)
+        Q = self.dataset.num_queries
+        k0, rng = jax.random.split(rng)
+        qs = jax.random.randint(k0, (self.batch_size,), 0, Q)
+        batch, valid = self._simulate(model, rng, qs)
+        if not self.check_validation or self.hparams.oracle_mode:
+            return batch
+        rounds = self.RESAMPLE_ROUNDS
+
+        def body(carry, key):
+            batch, valid = carry
+            kq, kc = jax.random.split(key)
+            qs2 = jax.random.randint(kq, (self.batch_size,), 0, Q)
+            batch2, valid2 = self._simulate(model, kc, qs2)
+            take_new = (~valid) & valid2
+            sel = lambda a, b: jnp.where(
+                take_new.reshape((-1,) + (1,) * (a.ndim - 1)), b, a)
+            batch = jax.tree_util.tree_map(sel, batch, batch2)
+            return (batch, valid | valid2), None
+
+        keys = jax.random.split(jax.random.fold_in(rng, 1), rounds)
+        (batch, valid), _ = jax.lax.scan(body, (batch, valid), keys)
+        # Lists that never clicked are masked out of the loss entirely.
+        batch["mask"] = batch["mask"] * valid[:, None]
+        return batch
+
+
+class _OnlineSimulationFeed(BaseInputFeed, _ClickFeedMixin):
+    """Online simulation: rank with the CURRENT ranker, simulate clicks on
+    the re-ranked list (ref ``deterministic_online_simulation_feed.py`` /
+    ``stochastic_online_simulation_feed.py``). The scoring + reranking +
+    click sampling all run inside the caller's jitted train program."""
+
+    CLICK_RESAMPLE_ROUNDS = 16  # click redraws on the fixed ranking
+
+    def default_hparams(self):
+        return {
+            "click_model_json": "./example/ClickModel/pbm_0.1_1.0_4_1.0.json",
+            "oracle_mode": False,
+            # stochastic feed only (ref stochastic_...py:43-44):
+            "tau": 1.0,
+        }
+
+    def __init__(self, *args, check_validation: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.check_validation = check_validation
+        self._load_click_model()
+
+    def _rank(self, rng, scores, mask) -> jax.Array:
+        raise NotImplementedError
+
+    def train_batch(self, rng: jax.Array, state) -> Batch:
+        model = self._model_at_step(state.step) if self.click_model else None
+        kq, kr, kc = jax.random.split(rng, 3)
+        qs = jax.random.randint(kq, (self.batch_size,), 0,
+                                self.dataset.num_queries)
+        batch = _take(self.dataset, qs)
+
+        # Score with the current ranker (the reference's model.validation
+        # upcall, here fused into the same program).
+        scores = self.algorithm.score(state, batch)
+        ranking = self._rank(kr, scores, batch["mask"])       # [B, Lc]
+
+        feats = jnp.take_along_axis(
+            batch["features"], ranking[:, :, None], axis=1)
+        labels = rerank(batch["labels"], ranking)
+        mask = rerank(batch["mask"], ranking)
+        init_scores = rerank(batch["initial_scores"], ranking)
+
+        L = self.rank_list_size
+        top_labels = labels[:, :L]
+        top_mask = mask[:, :L]
+        if self.hparams.oracle_mode:
+            clicks = top_labels * top_mask
+            valid = jnp.ones((clicks.shape[0],), bool)
+        else:
+            clicks, _, _ = cm.sample_clicks(model, kc, top_labels, top_mask)
+            valid = clicks.sum(axis=1) > 0
+            if self.check_validation:
+                def body(carry, key):
+                    clicks, valid = carry
+                    c2, _, _ = cm.sample_clicks(model, key, top_labels,
+                                                top_mask)
+                    v2 = c2.sum(axis=1) > 0
+                    take = (~valid) & v2
+                    clicks = jnp.where(take[:, None], c2, clicks)
+                    return (clicks, valid | v2), None
+
+                keys = jax.random.split(jax.random.fold_in(kc, 7),
+                                        self.CLICK_RESAMPLE_ROUNDS)
+                (clicks, valid), _ = jax.lax.scan(
+                    body, (clicks, valid), keys)
+
+        # Labels beyond the cutoff are zeroed (ref stochastic_...py:170-176).
+        full_clicks = jnp.concatenate(
+            [clicks, jnp.zeros_like(labels[:, L:])], axis=1)
+        if self.check_validation and not self.hparams.oracle_mode:
+            mask = mask * valid[:, None]
+        return {
+            "features": feats,
+            "labels": full_clicks,
+            "mask": mask,
+            "initial_scores": init_scores,
+            "relevance": labels,  # true labels in ranked order (DBGD reward)
+        }
+
+
+@register("feed", "DeterministicOnlineSimulationFeed",
+          aliases=["ultra.input_layer.DeterministicOnlineSimulationFeed"])
+class DeterministicOnlineSimulationFeed(_OnlineSimulationFeed):
+    """Rank by sorting scores descending
+    (ref ``deterministic_online_simulation_feed.py:129-134``)."""
+
+    def _rank(self, rng, scores, mask):
+        return deterministic_rank(scores, mask)
+
+
+@register("feed", "StochasticOnlineSimulationFeed",
+          aliases=["ultra.input_layer.StochasticOnlineSimulationFeed"])
+class StochasticOnlineSimulationFeed(_OnlineSimulationFeed):
+    """Rank by Plackett-Luce sampling at temperature tau
+    (ref ``stochastic_online_simulation_feed.py:129-147``), implemented as
+    Gumbel-top-k."""
+
+    def _rank(self, rng, scores, mask):
+        return plackett_luce_sample(rng, scores, mask,
+                                    tau=float(self.hparams.tau))

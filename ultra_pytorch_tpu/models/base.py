@@ -1,0 +1,103 @@
+"""Ranker protocol: param-pytree ``init``/``apply`` scorers.
+
+Replaces the reference's ``BaseRankingModel`` OO protocol
+(ref ``ultra/ranking_model/base_ranking_model.py:87-102``: concat per-position
+tensors -> net -> split back) with whole-list scoring: a ranker maps
+``[B, L, F]`` features to ``[B, L]`` scores in one shot, so the full batch
+rides the MXU as a single ``[B*L, F] @ [F, H]`` matmul chain.
+
+Parameter-noise perturbation for the DBGD family (ref noisy_params protocol,
+``ultra/ranking_model/Linear.py:69-75``) becomes pure pytree arithmetic:
+``perturb(params, noise, rate) = params + rate * noise``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ultra_pytorch_tpu.utils.hparams import HParams
+
+Params = Any  # nested dict pytree
+
+# Activation menu mirroring ref base_ranking_model.py:63-69.
+ACTIVATIONS: Dict[str, Callable] = {
+    "elu": jax.nn.elu,
+    "relu": jax.nn.relu,
+    "selu": jax.nn.selu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+}
+
+
+class BaseRanker:
+    """A ranker owns hparams and exposes pure init/apply."""
+
+    def __init__(self, hparams_str: str = "", feature_size: int = 0):
+        self.hparams = HParams(**self.default_hparams())
+        self.hparams.parse(hparams_str or "")
+        self.feature_size = feature_size
+
+    def default_hparams(self) -> Dict[str, Any]:
+        return {}
+
+    def init(self, rng: jax.Array, feature_size: int) -> Params:
+        raise NotImplementedError
+
+    def apply(self, params: Params, features: jax.Array,
+              mask: Optional[jax.Array] = None, *,
+              rng: Optional[jax.Array] = None,
+              is_training: bool = False) -> jax.Array:
+        """[B, L, F] -> [B, L] scores."""
+        raise NotImplementedError
+
+
+# -- torch-compatible initializers (convergence parity with the reference,
+#    which relies on torch.nn.Linear's default U(-1/sqrt(fan_in), ...)) -----
+
+def linear_init(rng: jax.Array, fan_in: int, fan_out: int):
+    kw, kb = jax.random.split(rng)
+    bound = 1.0 / jnp.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), minval=-bound, maxval=bound)
+    b = jax.random.uniform(kb, (fan_out,), minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+def layer_norm_init(dim: int):
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def apply_linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def apply_layer_norm(p, x, eps: float = 1e-5):
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+# -- DBGD-family noise utilities ------------------------------------------
+
+def sample_noise_like(rng: jax.Array, params: Params,
+                      normalize_per_leaf: bool = True) -> Params:
+    """Unit Gaussian noise shaped like `params`; each leaf normalized to unit
+    L2 norm, matching the reference's per-parameter normalization
+    (ref ``dbgd.py:224-231`` create_noisy_param)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(rng, len(leaves))
+    noise = []
+    for k, leaf in zip(keys, leaves):
+        n = jax.random.normal(k, leaf.shape, leaf.dtype)
+        if normalize_per_leaf:
+            n = n / (jnp.linalg.norm(n.reshape(-1)) + 1e-12)
+        noise.append(n)
+    return jax.tree_util.tree_unflatten(treedef, noise)
+
+
+def perturb(params: Params, noise: Params, rate: float) -> Params:
+    """params + rate * noise (the functional form of the reference's in-place
+    noisy_params update, ref ``DNN.py:79-86``)."""
+    return jax.tree_util.tree_map(lambda p, n: p + rate * n, params, noise)

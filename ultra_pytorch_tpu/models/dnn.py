@@ -1,0 +1,58 @@
+"""DNN ranker: per-layer (LayerNorm -> Linear -> activation) MLP.
+
+Capability parity with ref ``ultra/ranking_model/DNN.py:11-88``:
+``hidden_layer_sizes=[512, 256, 128]`` + scalar output layer, LayerNorm in
+front of every Linear, activation (default elu) on all but the last layer.
+
+TPU-first: the whole ``[B, L, F]`` batch is scored as one ``[B*L, F]``
+matmul chain on the MXU (vs the reference's per-position concat/split,
+``DNN.py:72-88``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ultra_pytorch_tpu.models import base
+from ultra_pytorch_tpu.utils.registry import register
+
+
+@register("ranker", "DNN", aliases=["ultra.ranking_model.DNN"])
+class DNN(base.BaseRanker):
+
+    def default_hparams(self):
+        return {
+            "hidden_layer_sizes": [512, 256, 128],
+            "activation_func": "elu",
+            "norm": "layer",
+        }
+
+    def init(self, rng: jax.Array, feature_size: int):
+        self.feature_size = feature_size
+        sizes = [feature_size] + list(self.hparams.hidden_layer_sizes) + [1]
+        keys = jax.random.split(rng, len(sizes) - 1)
+        layers = []
+        for j in range(len(sizes) - 1):
+            layers.append({
+                "norm": base.layer_norm_init(sizes[j]),
+                "linear": base.linear_init(keys[j], sizes[j], sizes[j + 1]),
+            })
+        return {"layers": layers}
+
+    def apply(self, params, features: jax.Array,
+              mask: Optional[jax.Array] = None, *,
+              rng=None, is_training: bool = False) -> jax.Array:
+        act = base.ACTIVATIONS[self.hparams.activation_func]
+        use_norm = self.hparams.norm == "layer"
+        x = features
+        n_layers = len(params["layers"])
+        for j, layer in enumerate(params["layers"]):
+            if use_norm:
+                x = base.apply_layer_norm(layer["norm"], x)
+            x = base.apply_linear(layer["linear"], x)
+            if j != n_layers - 1:
+                x = act(x)
+        return jnp.squeeze(x, -1)

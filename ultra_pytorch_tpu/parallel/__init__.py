@@ -1,0 +1,7 @@
+from ultra_pytorch_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_dataset,
+    make_dp_train_step,
+)

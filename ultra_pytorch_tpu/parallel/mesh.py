@@ -1,0 +1,106 @@
+"""Device mesh + data-parallel training step.
+
+The reference has NO distributed execution of any kind (SURVEY.md §2.10:
+single process, single device, no torch.distributed / NCCL / MPI). This
+module is the genuinely new subsystem: data parallelism over a
+``jax.sharding.Mesh`` with explicit ``shard_map`` + ``lax.pmean`` gradient
+exchange riding ICI (intra-slice) / DCN (multi-host).
+
+Design:
+  * parameters and all algorithm aux state are REPLICATED across the mesh;
+  * each shard draws its own query indices (rng folded with its mesh
+    position), simulates clicks, and computes local gradients;
+  * the algorithm's ``grad_sync`` hook is bound to ``lax.pmean`` over the
+    data axis, so every replica applies identical updates — including the
+    EM/t± running-state updates of RegressionEM / PairwiseDebias, which are
+    batch statistics and must be psum-averaged to stay consistent
+    (SURVEY.md §7 "EM/stateful algorithms under pjit");
+  * the dataset is replicated into every device's HBM by default (LTR
+    feature tables are ~100s of MB; per-host sharded ingestion is handled at
+    the data layer for multi-host runs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_dataset(dev_dataset, mesh: Mesh):
+    """Replicate the device dataset across the mesh (params-style)."""
+    rep = replicated_sharding(mesh)
+    put = lambda x: jax.device_put(x, rep)
+    return dev_dataset.__class__(
+        features=put(dev_dataset.features),
+        doc_idx=put(dev_dataset.doc_idx),
+        labels=put(dev_dataset.labels),
+        mask=put(dev_dataset.mask),
+        initial_scores=put(dev_dataset.initial_scores),
+        max_label=dev_dataset.max_label)
+
+
+def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS):
+    """Build a jitted data-parallel fused train step.
+
+    Returns step(state, rng) -> (state, metrics); `state` replicated, each
+    shard processes feed.batch_size // n_shards queries.
+    """
+    n = mesh.devices.size
+    if feed.batch_size % n != 0:
+        raise ValueError(
+            f"batch_size {feed.batch_size} not divisible by mesh size {n}")
+
+    per_shard = feed.batch_size // n
+
+    def sharded_body(state, rng):
+        # Each shard gets a distinct rng stream.
+        idx = jax.lax.axis_index(axis)
+        rng = jax.random.fold_in(rng, idx)
+        k_batch, k_train = jax.random.split(rng)
+
+        old_bs = feed.batch_size
+        feed.batch_size = per_shard
+        try:
+            batch = feed.train_batch(k_batch, state)
+        finally:
+            feed.batch_size = old_bs
+
+        algorithm.grad_sync = partial(jax.lax.pmean, axis_name=axis)
+        try:
+            new_state, metrics = algorithm.train_step(state, batch, k_train)
+        finally:
+            algorithm.grad_sync = None
+        metrics = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
+        return new_state, metrics
+
+    from jax import shard_map
+
+    mapped = shard_map(
+        sharded_body, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    return jax.jit(mapped, donate_argnums=(0,))

@@ -1,0 +1,194 @@
+"""Experiment assembly + train/eval loops.
+
+The driver-layer equivalent of the reference's ``main.py`` (ref
+``main.py:65-292``): reads the same experiment-JSON schema
+(``train/valid/test_input_feed`` + hparam strings + ``ranking_model`` +
+``learning_algorithm`` + ``metrics``/``metrics_topn``/``objective_metric``),
+resolves components through the registry, and runs:
+
+  * a fused, jitted train step: sample queries -> gather features ->
+    simulate clicks -> algorithm update, all one XLA program (the reference
+    rebuilds a numpy feed dict on host every step, ref ``main.py:151-223``);
+  * periodic validation with weighted summary merging
+    (ref ``main.py:170-190``);
+  * best-objective checkpointing of the FULL train state
+    (ref ``main.py:198-214`` saves only the ranker).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultra_pytorch_tpu.data import dataset as data_lib
+from ultra_pytorch_tpu.data.trec import output_ranklist
+from ultra_pytorch_tpu.utils import checkpoint as ckpt_lib
+from ultra_pytorch_tpu.utils.registry import find_class
+
+
+def create_algorithm(exp_settings: Dict[str, Any], feature_size: int,
+                     max_label: float):
+    """Build ranker + algorithm from experiment settings
+    (ref ``main.py:65-83`` create_model + ``base_algorithm.py:156-167``)."""
+    ranker_cls = find_class(exp_settings["ranking_model"], kind="ranker")
+    ranker = ranker_cls(exp_settings.get("ranking_model_hparams", ""),
+                        feature_size)
+    algo_cls = find_class(exp_settings["learning_algorithm"],
+                          kind="algorithm")
+    return algo_cls(ranker, exp_settings, max_label=max_label)
+
+
+class Experiment:
+    """One configured experiment over a dataset directory."""
+
+    def __init__(self, exp_settings: Dict[str, Any], data_dir: str,
+                 model_dir: str, batch_size: int = 256,
+                 data_format: str = "ULTRA", seed: int = 0,
+                 rank_cut: Optional[int] = None):
+        self.exp_settings = exp_settings
+        self.data_dir = data_dir
+        self.model_dir = model_dir
+        self.batch_size = batch_size
+        self.data_format = data_format
+        self.seed = seed
+        self.rank_cut = rank_cut
+        self._compiled = {}
+
+    # -- data -------------------------------------------------------------
+    def load_split(self, prefix: str) -> data_lib.RankingDataset:
+        click_model_dir = (self.exp_settings.get("click_model_dir")
+                           if self.data_format == "ULTRE" else None)
+        return data_lib.read_data(self.data_dir, prefix, self.rank_cut,
+                                  click_model_dir)
+
+    def setup(self, splits=("train", "valid")):
+        """Read data, resolve max_candidate_num / selection_bias_cutoff
+        (ref ``main.py:99,110-116``), pad, build components."""
+        self.datasets = {s: self.load_split(s) for s in splits}
+        max_candidate_num = max(
+            d.rank_list_size for d in self.datasets.values())
+        self.exp_settings["max_candidate_num"] = max_candidate_num
+        cutoff = self.exp_settings.get("selection_bias_cutoff",
+                                       max_candidate_num)
+        self.exp_settings["selection_bias_cutoff"] = min(
+            cutoff, max_candidate_num) if cutoff > 0 else max_candidate_num
+        for d in self.datasets.values():
+            d.pad(max_candidate_num)
+
+        train_like = self.datasets.get("train") or next(
+            iter(self.datasets.values()))
+        self.max_label = max(d.max_label for d in self.datasets.values())
+        self.algorithm = create_algorithm(
+            self.exp_settings, train_like.feature_size, self.max_label)
+
+        self.device_data = {s: d.to_device() for s, d in
+                            self.datasets.items()}
+
+        self.feeds = {}
+        for split, role in (("train", "train"), ("valid", "valid"),
+                            ("test", "test")):
+            if split not in self.datasets:
+                continue
+            feed_cls = find_class(
+                self.exp_settings[f"{role}_input_feed"], kind="feed")
+            self.feeds[split] = feed_cls(
+                self.algorithm, self.batch_size,
+                self.exp_settings.get(f"{role}_input_hparams", ""),
+                self.device_data[split])
+        return self
+
+    # -- state ------------------------------------------------------------
+    def init_state(self):
+        rng = jax.random.PRNGKey(self.seed)
+        k_init, self._data_rng = jax.random.split(rng)
+        train_like = self.datasets.get("train") or next(
+            iter(self.datasets.values()))
+        self.state = self.algorithm.init_state(
+            k_init, train_like.feature_size)
+        return self.state
+
+    @property
+    def ckpt_path(self) -> str:
+        algo_name = self.exp_settings["learning_algorithm"].rsplit(".", 1)[-1]
+        return os.path.join(self.model_dir, f"{algo_name}.ckpt")
+
+    def save(self, extra: Dict[str, Any] = None):
+        ckpt_lib.save_checkpoint(
+            self.ckpt_path, (self.state, self._data_rng), extra or {})
+
+    def restore(self) -> bool:
+        if not ckpt_lib.checkpoint_exists(self.ckpt_path):
+            return False
+        (self.state, self._data_rng), _ = ckpt_lib.load_checkpoint(
+            self.ckpt_path)
+        return True
+
+    # -- train ------------------------------------------------------------
+    def _train_step_fn(self):
+        if "train_step" not in self._compiled:
+            feed = self.feeds["train"]
+            alg = self.algorithm
+
+            def fused(state, rng):
+                k_batch, k_train = jax.random.split(rng)
+                batch = feed.train_batch(k_batch, state)
+                return alg.train_step(state, batch, k_train)
+
+            self._compiled["train_step"] = jax.jit(fused,
+                                                   donate_argnums=(0,))
+        return self._compiled["train_step"]
+
+    def train_steps(self, num_steps: int):
+        """Run `num_steps` fused steps; returns mean metrics of the window."""
+        step_fn = self._train_step_fn()
+        agg = None
+        for _ in range(num_steps):
+            self._data_rng, sub = jax.random.split(self._data_rng)
+            self.state, metrics = step_fn(self.state, sub)
+            agg = metrics if agg is None else jax.tree_util.tree_map(
+                jnp.add, agg, metrics)
+        return {k: float(v) / num_steps for k, v in agg.items()}
+
+    # -- eval -------------------------------------------------------------
+    def _eval_step_fn(self):
+        if "eval_step" not in self._compiled:
+            alg = self.algorithm
+
+            def eval_step(state, batch):
+                return alg.validation_metrics(state, batch)
+
+            self._compiled["eval_step"] = jax.jit(eval_step)
+        return self._compiled["eval_step"]
+
+    def validate(self, split: str = "valid"):
+        """Full-split evaluation with weighted summary merge
+        (ref ``main.py:170-190`` + ``data_utils.py:501-514``)."""
+        eval_fn = self._eval_step_fn()
+        summaries, counts = [], []
+        for batch, _, count in self.feeds[split].eval_batches():
+            _, summary = eval_fn(self.state, batch)
+            summaries.append({k: float(v) for k, v in summary.items()})
+            counts.append(count)
+        return data_lib.merge_summary(summaries, counts)
+
+    def test_scores(self, split: str = "test") -> np.ndarray:
+        """Scores over the full split in initial-list order [Q, L]."""
+        eval_fn = self._eval_step_fn()
+        alg = self.algorithm
+        score_fn = jax.jit(lambda state, batch: alg.score(state, batch))
+        chunks = []
+        for batch, _, count in self.feeds[split].eval_batches():
+            scores = score_fn(self.state, batch)
+            chunks.append(np.asarray(scores)[:count])
+        return np.concatenate(chunks, axis=0)
+
+    def write_ranklist(self, split: str = "test", output_dir: str = None):
+        scores = self.test_scores(split)
+        return output_ranklist(self.datasets[split], scores,
+                               output_dir or self.model_dir, split), scores
