@@ -119,10 +119,10 @@ class _ClickFeedMixin:
         `dynamic_bias_eta_change`. Computed from the step counter so it is
         stateless and jit-safe."""
         base = self.click_model.eta
-        change = float(self.hparams.dynamic_bias_eta_change)
+        change = float(self.hparams.get("dynamic_bias_eta_change", 0.0))
         if change == 0.0:
             return base
-        interval = int(self.hparams.dynamic_bias_step_interval)
+        interval = int(self.hparams.get("dynamic_bias_step_interval", 1000))
         return base + (step // interval).astype(jnp.float32) * change
 
     def _model_at_step(self, step):

@@ -81,6 +81,42 @@ def apply_layer_norm(p, x, eps: float = 1e-5):
 
 # -- DBGD-family noise utilities ------------------------------------------
 
+_NOISE_KEYS = ("linear", "out", "fc1", "fc2", "mha_dense", "input_embed",
+               "output")
+_FROZEN_KEYS = ("norm", "ln1", "ln2")
+
+
+def noise_spec(params: Params) -> Params:
+    """0/1 pytree marking which leaves the DBGD family perturbs: the linear
+    scorer weights, NOT the normalization params (the reference perturbs
+    only sublayers whose name contains "linear", ref ``dbgd.py:226-231``)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        frozen = any(k in _FROZEN_KEYS for k in keys)
+        noisy = any(k in _NOISE_KEYS for k in keys) and not frozen
+        out.append(jnp.ones_like(leaf) if noisy else jnp.zeros_like(leaf))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def dbgd_noise_like(rng: jax.Array, params: Params) -> Params:
+    """Unit noise for the DBGD family: N(0,1) normalized along axis 0
+    (torch ``F.normalize(..., dim=0)``, ref ``dbgd.py:230``), masked to the
+    perturbable leaves."""
+    spec = noise_spec(params)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    spec_leaves = jax.tree_util.tree_leaves(spec)
+    keys = jax.random.split(rng, len(leaves))
+    noise = []
+    for k, leaf, s in zip(keys, leaves, spec_leaves):
+        n = jax.random.normal(k, leaf.shape, leaf.dtype)
+        if n.ndim >= 1:
+            norm = jnp.sqrt(jnp.sum(n ** 2, axis=0, keepdims=True))
+            n = n / jnp.maximum(norm, 1e-12)
+        noise.append(n * s)
+    return jax.tree_util.tree_unflatten(treedef, noise)
+
 def sample_noise_like(rng: jax.Array, params: Params,
                       normalize_per_leaf: bool = True) -> Params:
     """Unit Gaussian noise shaped like `params`; each leaf normalized to unit

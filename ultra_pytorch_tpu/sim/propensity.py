@@ -143,3 +143,36 @@ class OraclePropensityEstimator(BasicPropensityEstimator):
                 use_non_clicked_data: bool = False) -> jax.Array:
         return cm.propensity_weights(self.click_model, clicks,
                                      use_non_clicked_data)
+
+
+def main(argv=None):
+    """CLI mirror of ``python ultra/utils/propensity_estimator.py
+    <click_model_json> <data_dir> <output_dir>`` (ref ``:183-200``):
+    estimate a randomized propensity estimator from the train split."""
+    import os
+    import sys
+
+    argv = argv if argv is not None else sys.argv[1:]
+    click_model_json, data_dir, output_path = argv[:3]
+    sessions = int(argv[3]) if len(argv) > 3 else 10_000_000
+
+    import jax as _jax
+    if os.environ.get("ULTRA_PLATFORM"):
+        _jax.config.update("jax_platforms", os.environ["ULTRA_PLATFORM"])
+
+    from ultra_pytorch_tpu.data.dataset import read_data
+
+    train = read_data(data_dir, "train")
+    click_model = cm.load_model_from_file(click_model_json)
+    est = RandomizedPropensityEstimator()
+    labels = train.labels
+    mask = (train.initial_list >= 0).astype("float32")
+    est.estimate_from_model(click_model, labels, mask, sessions=sessions)
+    name = os.path.basename(click_model_json)[:-5]
+    out = os.path.join(output_path, f"randomized_{name}.json")
+    est.save(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
