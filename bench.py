@@ -1,0 +1,91 @@
+"""Benchmark: DLA training throughput (queries/sec) on one chip.
+
+Protocol mirrors the reference's reproducible configuration
+(ref ``main.py:42-56`` + ``example/offline_setting/dla_exp_settings.json``):
+batch 256, selection_bias_cutoff 10, DNN [512, 256, 128], 136 features,
+PBM eta=1.0 click simulation — the full fused pipeline (query sampling,
+on-device feature gather, click simulation, dual-tower DLA update) per step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "queries/s", "vs_baseline": N}
+
+``vs_baseline`` compares against the reference PyTorch implementation's
+measured throughput on this machine's CPU (see BASELINE.md; the reference
+has no accelerator path on TPU hosts and no published numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+# Reference throughput (queries/s) of ULTRA_pytorch DLA/DNN/batch-256 on this
+# host's CPU, measured via tools/bench_reference.py -> BASELINE.md.
+REFERENCE_QPS = float(os.environ.get("ULTRA_REF_QPS", "2142"))
+
+BATCH = 256
+LIST_SIZE = 10
+FEATURES = 136
+NUM_QUERIES = 4096
+WARMUP_STEPS = 5
+BENCH_STEPS = 100
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _exp_settings, _make_synthetic
+    from ultra_pytorch_tpu.input_layer.feeds import ClickSimulationFeed
+    from ultra_pytorch_tpu.run.experiment import create_algorithm
+    from ultra_pytorch_tpu.sim.click_models import click_model_json_numpy
+
+    import tempfile
+
+    ds = _make_synthetic(num_queries=NUM_QUERIES, list_size=LIST_SIZE,
+                         feature_size=FEATURES)
+    settings = _exp_settings(LIST_SIZE)
+    alg = create_algorithm(settings, ds.feature_size, ds.max_label)
+    dev = ds.to_device()
+
+    with tempfile.TemporaryDirectory() as td:
+        cm_path = os.path.join(td, "pbm.json")
+        with open(cm_path, "w") as fout:
+            json.dump(click_model_json_numpy("pbm", 0.1, 1.0, 4, 1.0), fout)
+        feed = ClickSimulationFeed(alg, BATCH,
+                                   f"click_model_json={cm_path}", dev)
+
+        def fused(state, rng):
+            k_batch, k_train = jax.random.split(rng)
+            batch = feed.train_batch(k_batch, state)
+            return alg.train_step(state, batch, k_train)
+
+        step = jax.jit(fused, donate_argnums=(0,))
+        state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
+        rng = jax.random.PRNGKey(1)
+
+        for _ in range(WARMUP_STEPS):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, sub)
+        jax.block_until_ready(metrics["loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(BENCH_STEPS):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, sub)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+
+    qps = BENCH_STEPS * BATCH / dt
+    print(json.dumps({
+        "metric": "dla_dnn_train_throughput",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / REFERENCE_QPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

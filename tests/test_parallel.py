@@ -1,0 +1,123 @@
+"""Data-parallel training tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultra_pytorch_tpu.data import dataset as data_lib
+from ultra_pytorch_tpu.input_layer.feeds import ClickSimulationFeed
+from ultra_pytorch_tpu.parallel import (
+    make_dp_train_step, make_mesh, shard_dataset)
+from ultra_pytorch_tpu.run.experiment import create_algorithm
+
+
+def _settings(algo, cutoff, click_model_json):
+    return {
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[32, 16]",
+        "learning_algorithm": algo,
+        "learning_algorithm_hparams": "",
+        "train_input_hparams": f"click_model_json={click_model_json}",
+        "metrics": ["ndcg"],
+        "metrics_topn": [5],
+        "max_candidate_num": 10,
+        "selection_bias_cutoff": 5,
+    }
+
+
+@pytest.fixture(scope="module")
+def toy(toy_data_dir):
+    ds = data_lib.read_data(toy_data_dir, "train")
+    ds.pad(10)
+    return ds
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices")
+
+
+@pytest.mark.parametrize("algo", ["DLA", "RegressionEM", "PairDebias"])
+def test_dp_train_step_runs_and_state_replicated(
+        algo, toy, click_model_json, toy_data_dir):
+    settings = _settings(algo, 5, click_model_json)
+    alg = create_algorithm(settings, toy.feature_size, toy.max_label)
+    mesh = make_mesh(8)
+    dev = shard_dataset(toy.to_device(), mesh)
+    feed = ClickSimulationFeed(
+        alg, 16, settings["train_input_hparams"], dev)
+    state = alg.init_state(jax.random.PRNGKey(0), toy.feature_size)
+    step = make_dp_train_step(alg, feed, mesh)
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, sub)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 3
+    # params must be fully replicated (identical across shards)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_grad_sync_equivalence(toy, click_model_json):
+    """A DP step on an 8-way mesh must equal the single-device step on the
+    concatenation of the 8 per-shard batches (gradient pmean == mean over
+    the full batch for mean-style losses)."""
+    settings = _settings("NaiveAlgorithm", 5, click_model_json)
+    settings["learning_algorithm_hparams"] = "loss_func=sigmoid_loss"
+    alg = create_algorithm(settings, toy.feature_size, toy.max_label)
+    mesh = make_mesh(8)
+    dev = shard_dataset(toy.to_device(), mesh)
+    feed = ClickSimulationFeed(
+        alg, 16, settings["train_input_hparams"], dev)
+    state0 = alg.init_state(jax.random.PRNGKey(0), toy.feature_size)
+
+    rng = jax.random.PRNGKey(7)
+
+    # Build the same 8 per-shard batches on one device and run one
+    # equivalent fused step with mean-of-shard-grads semantics.
+    per_shard = 16 // 8
+    batches = []
+    for idx in range(8):
+        sub = jax.random.fold_in(rng, idx)
+        k_batch, k_train = jax.random.split(sub)
+        feed.batch_size = per_shard
+        batches.append((feed.train_batch(k_batch, state0), k_train))
+    feed.batch_size = 16
+
+    def loss_of(params, batch):
+        scores = alg.ranker.apply(params, batch["features"], batch["mask"])
+        from ultra_pytorch_tpu.ops import losses
+        return losses.sigmoid_loss_on_list(
+            scores, batch["labels"], mask=batch["mask"])
+
+    grads = None
+    for batch, _ in batches:
+        batch = alg.train_slice(batch)
+        g = jax.grad(loss_of)(state0.params, batch)
+        grads = g if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g)
+    grads = jax.tree_util.tree_map(lambda g: g / 8.0, grads)
+    params_ref, _ = alg.apply_updates(
+        alg.optimizer(), state0.params, state0.opt_state, grads)
+    params_ref = jax.tree_util.tree_map(np.asarray, params_ref)
+
+    # DP step last: donate_argnums invalidates state0's buffers.
+    dp_step = make_dp_train_step(alg, feed, mesh)
+    state_dp, _ = dp_step(state0, rng)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_batch_size_divisibility_check(toy, click_model_json):
+    settings = _settings("NaiveAlgorithm", 5, click_model_json)
+    alg = create_algorithm(settings, toy.feature_size, toy.max_label)
+    mesh = make_mesh(8)
+    dev = shard_dataset(toy.to_device(), mesh)
+    feed = ClickSimulationFeed(alg, 12, settings["train_input_hparams"], dev)
+    with pytest.raises(ValueError):
+        make_dp_train_step(alg, feed, mesh)
