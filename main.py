@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--test_while_train", action="store_true")
     p.add_argument("--test_only", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_dir", type=str, default="",
+                   help="TensorBoard/JSONL metric logs (default <model_dir>/logs)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="trace this many steps with jax.profiler at start")
     return p.parse_args(argv)
 
 
@@ -70,14 +74,25 @@ def build_experiment(args, splits):
 
 
 def train(args):
-    exp = build_experiment(args, splits=("train", "valid"))
+    from ultra_pytorch_tpu.utils.logging_utils import MetricLogger, profile_ctx
+
+    splits = ("train", "valid", "test") if args.test_while_train else (
+        "train", "valid")
+    exp = build_experiment(args, splits=splits)
     exp.init_state()
     if exp.restore():
         print(f"Restored checkpoint from {exp.ckpt_path}")
 
+    logger = MetricLogger(args.log_dir or os.path.join(args.model_dir, "logs"))
     objective = exp.exp_settings.get("objective_metric", "ndcg_10")
     best = None
     step = 0
+
+    if args.profile_steps > 0:
+        with profile_ctx(os.path.join(args.model_dir, "profile")):
+            exp.train_steps(args.profile_steps)
+        step += args.profile_steps
+
     while step < args.max_train_iteration:
         window = min(args.steps_per_checkpoint,
                      args.max_train_iteration - step)
@@ -91,17 +106,24 @@ def train(args):
         line = ", ".join(f"{k}={v:.5f}" for k, v in sorted(summary.items()))
         print(f"step {step} loss {metrics.get('loss', float('nan')):.5f} "
               f"({qps:.0f} queries/s) | {line}", flush=True)
+        logger.log("train", step, dict(metrics, queries_per_sec=qps))
+        logger.log("valid", step, summary)
+        if args.test_while_train:
+            test_summary = exp.validate("test")
+            logger.log("test", step, test_summary)
+            print("  test: " + ", ".join(
+                f"{k}={v:.5f}" for k, v in sorted(test_summary.items())))
         if obj is not None and (best is None or obj > best):
             best = obj
             exp.save({"step": step, objective: obj})
             print(f"  saved checkpoint ({objective}={obj:.5f})")
-        if metrics.get("loss") is not None and not (
-                metrics["loss"] == metrics["loss"]) or metrics.get(
-                    "loss") in (float("inf"),):
+        loss = metrics.get("loss")
+        if loss is not None and (loss != loss or loss == float("inf")):
             print("Divergence detected (loss inf/nan); stopping.")
             break
     if best is None:
         exp.save({"step": step})
+    logger.close()
     print(f"Training done at step {step}; best {objective}={best}")
 
 

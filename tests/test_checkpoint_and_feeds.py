@@ -1,0 +1,154 @@
+"""Checkpoint resume, ULTRE format, dynamic bias schedule, oracle mode."""
+
+import json
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultra_pytorch_tpu.data import dataset as data_lib
+from ultra_pytorch_tpu.input_layer.feeds import ClickSimulationFeed
+from ultra_pytorch_tpu.run.experiment import Experiment, create_algorithm
+from ultra_pytorch_tpu.utils import checkpoint as ckpt
+
+
+def _settings(click_model_json):
+    return {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams": f"click_model_json={click_model_json}",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[16]",
+        "learning_algorithm": "DLA",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg"],
+        "metrics_topn": [5],
+        "objective_metric": "ndcg_5",
+        "selection_bias_cutoff": 5,
+    }
+
+
+def test_checkpoint_resume_bit_exact(toy_data_dir, click_model_json,
+                                     tmp_path):
+    """Save at step 3, train 3 more; vs restore + train 3 — identical."""
+    s = _settings(click_model_json)
+
+    exp = Experiment(s, toy_data_dir, str(tmp_path / "m"), batch_size=8)
+    exp.setup()
+    exp.init_state()
+    exp.train_steps(3)
+    exp.save()
+    exp.train_steps(3)
+    params_a = jax.tree_util.tree_leaves(exp.state.params)
+
+    exp2 = Experiment(dict(s), toy_data_dir, str(tmp_path / "m"),
+                      batch_size=8)
+    exp2.setup()
+    exp2.init_state()
+    assert exp2.restore()
+    assert int(exp2.state.step) == 3  # full state incl. step counter
+    exp2.train_steps(3)
+    params_b = jax.tree_util.tree_leaves(exp2.state.params)
+
+    for a, b in zip(params_a, params_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_preserves_aux_state(toy_data_dir, click_model_json,
+                                        tmp_path):
+    s = _settings(click_model_json)
+    s["learning_algorithm"] = "RegressionEM"
+    exp = Experiment(s, toy_data_dir, str(tmp_path / "m2"), batch_size=8)
+    exp.setup()
+    exp.init_state()
+    exp.train_steps(5)
+    prop_before = np.asarray(exp.state.aux["propensity"])
+    assert not np.allclose(prop_before, 0.9)  # EM moved it
+    exp.save()
+    exp2 = Experiment(dict(s), toy_data_dir, str(tmp_path / "m2"),
+                      batch_size=8)
+    exp2.setup()
+    exp2.init_state()
+    assert exp2.restore()
+    np.testing.assert_array_equal(
+        np.asarray(exp2.state.aux["propensity"]), prop_before)
+
+
+def test_ultre_format_with_logged_clicks(toy_data_dir, tmp_path):
+    """Build a tiny ULTRE dataset: doc-id-keyed features + click labels in a
+    click-model subdirectory (ref data_utils.py:191-285)."""
+    src = data_lib.read_data(toy_data_dir, "train")
+    root = tmp_path / "ultre"
+    sub = root / "train"
+    os.makedirs(sub)
+    json.dump({"feature_size": src.feature_size, "max_label": 1.0},
+              open(root / "settings.json", "w"))
+    # features keyed by did; init_list references dids
+    with open(sub / "train.feature", "w") as f_feat, \
+            open(sub / "train.init_list", "w") as f_init, \
+            open(sub / "train.labels", "w") as f_lab:
+        for q in range(6):
+            dids = []
+            for d in range(4):
+                did = f"q{q}_d{d}"
+                dids.append(did)
+                vec = " ".join(
+                    f"{i + 1}:{0.1 * (d + 1):.2f}" for i in range(0, 8, 2))
+                f_feat.write(f"{did} {vec}\n")
+            f_init.write(f"q{q} " + " ".join(dids) + "\n")
+            f_lab.write(f"q{q} 1.0 0.0 1.0 0.0\n")
+    # logged clicks live in a click-model dir
+    cm_dir = tmp_path / "clicks"
+    os.makedirs(cm_dir)
+    with open(cm_dir / "train.labels", "w") as f:
+        for q in range(6):
+            f.write(f"q{q} 0.0 1.0 0.0 0.0\n")
+
+    ds = data_lib.read_data(str(root), "train",
+                            click_model_dir=str(cm_dir))
+    assert ds.num_queries == 6
+    # labels must come from the click-model dir
+    np.testing.assert_array_equal(ds.labels[0], [0.0, 1.0, 0.0, 0.0])
+
+
+def test_dynamic_bias_eta_schedule(toy_data_dir, click_model_json):
+    ds = data_lib.read_data(toy_data_dir, "train")
+    ds.pad(ds.rank_list_size)
+    settings = {"max_candidate_num": ds.rank_list_size,
+                "selection_bias_cutoff": 5,
+                "ranking_model": "Linear", "ranking_model_hparams": "",
+                "learning_algorithm": "NaiveAlgorithm",
+                "learning_algorithm_hparams": "",
+                "metrics": ["ndcg"], "metrics_topn": [5]}
+    alg = create_algorithm(settings, ds.feature_size, ds.max_label)
+    feed = ClickSimulationFeed(
+        alg, 8,
+        f"click_model_json={click_model_json},"
+        "dynamic_bias_eta_change=0.5,dynamic_bias_step_interval=10",
+        ds.to_device())
+    state0 = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
+    eta0 = float(feed._eta_at_step(jnp.asarray(0)))
+    eta25 = float(feed._eta_at_step(jnp.asarray(25)))
+    assert abs(eta0 - 1.0) < 1e-6
+    assert abs(eta25 - 2.0) < 1e-6  # 1.0 + floor(25/10)*0.5
+
+
+def test_oracle_mode_feeds_relevance(toy_data_dir, click_model_json):
+    ds = data_lib.read_data(toy_data_dir, "train")
+    ds.pad(ds.rank_list_size)
+    settings = {"max_candidate_num": ds.rank_list_size,
+                "selection_bias_cutoff": 5,
+                "ranking_model": "Linear", "ranking_model_hparams": "",
+                "learning_algorithm": "NaiveAlgorithm",
+                "learning_algorithm_hparams": "",
+                "metrics": ["ndcg"], "metrics_topn": [5]}
+    alg = create_algorithm(settings, ds.feature_size, ds.max_label)
+    dev = ds.to_device()
+    feed = ClickSimulationFeed(alg, 8, "oracle_mode=true", dev)
+    state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
+    batch = feed.train_batch(jax.random.PRNGKey(1), state)
+    labels = np.asarray(batch["labels"])
+    assert labels.max() > 1.0  # graded relevance, not binary clicks
