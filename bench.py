@@ -57,25 +57,31 @@ def main():
         feed = ClickSimulationFeed(alg, BATCH,
                                    f"click_model_json={cm_path}", dev)
 
-        def fused(state, rng):
-            k_batch, k_train = jax.random.split(rng)
-            batch = feed.train_batch(k_batch, state)
-            return alg.train_step(state, batch, k_train)
+        CHUNK = 25  # steps per dispatch (lax.scan window)
 
-        step = jax.jit(fused, donate_argnums=(0,))
+        def body(carry, _):
+            state, rng = carry
+            rng, k_batch, k_train = jax.random.split(rng, 3)
+            batch = feed.train_batch(k_batch, state)
+            state, metrics = alg.train_step(state, batch, k_train)
+            return (state, rng), metrics["loss"]
+
+        @jax.jit
+        def run_chunk(state, rng):
+            (state, rng), losses = jax.lax.scan(
+                body, (state, rng), None, length=CHUNK)
+            return state, rng, losses[-1]
+
         state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
         rng = jax.random.PRNGKey(1)
 
-        for _ in range(WARMUP_STEPS):
-            rng, sub = jax.random.split(rng)
-            state, metrics = step(state, sub)
-        jax.block_until_ready(metrics["loss"])
+        state, rng, loss = run_chunk(state, rng)  # warmup + compile
+        jax.block_until_ready(loss)
 
         t0 = time.perf_counter()
-        for _ in range(BENCH_STEPS):
-            rng, sub = jax.random.split(rng)
-            state, metrics = step(state, sub)
-        jax.block_until_ready(metrics["loss"])
+        for _ in range(BENCH_STEPS // CHUNK):
+            state, rng, loss = run_chunk(state, rng)
+        jax.block_until_ready(loss)
         dt = time.perf_counter() - t0
 
     qps = BENCH_STEPS * BATCH / dt

@@ -1,0 +1,70 @@
+"""Pallas kernel correctness tests (interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultra_pytorch_tpu.models.dnn import DNN
+from ultra_pytorch_tpu.ops.pallas.mlp import (
+    fused_mlp_score, pallas_mlp_available)
+
+pytestmark = pytest.mark.skipif(not pallas_mlp_available(),
+                                reason="pallas unavailable")
+
+
+@pytest.fixture(scope="module")
+def dnn_and_params():
+    dnn = DNN("hidden_layer_sizes=[32, 16]", 24)
+    params = dnn.init(jax.random.PRNGKey(0), 24)
+    return dnn, params
+
+
+def test_fused_forward_matches_reference(dnn_and_params):
+    dnn, params = dnn_and_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 9, 24))
+    ref = dnn.apply(params, x)
+    fused = fused_mlp_score(params["layers"], x, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_forward_unaligned_rows(dnn_and_params):
+    dnn, params = dnn_and_params
+    # 7 rows: far from the 256-row tile, exercises padding
+    x = jax.random.normal(jax.random.PRNGKey(2), (7, 24))
+    ref = dnn.apply(params, x[None])[0]
+    fused = fused_mlp_score(params["layers"], x, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gradients_match(dnn_and_params):
+    dnn, params = dnn_and_params
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 5, 24))
+    target = jax.random.normal(jax.random.PRNGKey(4), (4, 5))
+
+    def loss_ref(params):
+        return jnp.sum((dnn.apply(params, x) - target) ** 2)
+
+    def loss_fused(params):
+        s = fused_mlp_score(params["layers"], x, interpret=True)
+        return jnp.sum((s - target) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_fused = jax.grad(loss_fused)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dnn_use_pallas_hparam():
+    dnn = DNN("hidden_layer_sizes=[16],use_pallas=true", 12)
+    params = dnn.init(jax.random.PRNGKey(5), 12)
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, 4, 12))
+    scores = dnn.apply(params, x)
+    assert scores.shape == (3, 4)
+    ref = DNN("hidden_layer_sizes=[16]", 12).apply(params, x)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

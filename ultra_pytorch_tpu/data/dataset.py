@@ -34,7 +34,24 @@ PAD_LABEL = -1.0
 
 def _read_sparse_features(path: str, feature_size: int,
                           removed: List[int]) -> Tuple[List[str], np.ndarray]:
-    """Read a `.feature` file of `did idx:val ...` rows (1-based idx)."""
+    """Read a `.feature` file of `did idx:val ...` rows (1-based idx).
+
+    Uses the native C++ parser (ultra_pytorch_tpu/data/native.py) when
+    available; the pure-Python path below is the fallback."""
+    try:
+        from ultra_pytorch_tpu.data import native
+        if native.native_available():
+            parsed = native.parse_letor_file(
+                path, native.FORMAT_ULTRA, feature_size)
+            if parsed is not None:
+                feats, _, dids = parsed
+                if removed:
+                    keep = [i for i in range(feature_size)
+                            if (i + 1) not in set(removed)]
+                    feats = feats[:, keep]
+                return dids, feats
+    except Exception:
+        pass
     dids: List[str] = []
     rows: List[np.ndarray] = []
     keep = None
@@ -301,11 +318,57 @@ def load_ultre_format(data_path: str, file_prefix: str,
         rank_list_size=rank_list_size, max_label=max_label)
 
 
+def _assemble_libsvm(features: np.ndarray, labels_flat: np.ndarray,
+                     row_qids: List[str],
+                     rank_cut: Optional[int] = None) -> RankingDataset:
+    """Group natively-parsed libsvm rows (file order) into a dataset."""
+    qids: List[str] = []
+    lists: List[List[int]] = []
+    labels: List[List[float]] = []
+    dids: List[str] = []
+    keep_rows: List[int] = []
+    max_label = 1.0
+    cur = None
+    for row, qid in enumerate(row_qids):
+        if qid != cur:
+            qids.append(qid)
+            lists.append([])
+            labels.append([])
+            cur = qid
+        if rank_cut is not None and len(lists[-1]) >= rank_cut:
+            continue
+        lists[-1].append(len(keep_rows))
+        lab = float(labels_flat[row])
+        labels[-1].append(lab)
+        max_label = max(max_label, lab)
+        dids.append(f"{qid}_{len(lists[-1]) - 1}")
+        keep_rows.append(row)
+    feats = features[np.asarray(keep_rows, dtype=np.int64)] \
+        if len(keep_rows) != features.shape[0] else features
+    qids, lists, labels, _ = _remove_invalid(qids, lists, labels, None)
+    rank_list_size = max((len(l) for l in lists), default=0)
+    il, lb, _ = _densify(lists, labels, None, rank_list_size)
+    return RankingDataset(
+        features=feats, initial_list=il, labels=lb, qids=qids, dids=dids,
+        feature_size=features.shape[1], rank_list_size=rank_list_size,
+        max_label=max_label)
+
+
 def load_libsvm_format(data_path: str, file_prefix: str,
                        rank_cut: Optional[int] = None) -> RankingDataset:
     """Load raw libsvm `label qid:X idx:val...` data in file order
     (ref ``data_utils.py:287-365``)."""
     path = os.path.join(data_path, file_prefix, file_prefix + ".txt")
+    native_parsed = None
+    try:
+        from ultra_pytorch_tpu.data import native
+        if native.native_available():
+            native_parsed = native.parse_letor_file(
+                path, native.FORMAT_LIBSVM, None)
+    except Exception:
+        native_parsed = None
+    if native_parsed is not None:
+        return _assemble_libsvm(*native_parsed, rank_cut=rank_cut)
     qids: List[str] = []
     lists: List[List[int]] = []
     labels: List[List[float]] = []

@@ -69,8 +69,18 @@ def layer_norm_init(dim: int):
     return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
 
 
-def apply_linear(p, x):
+def apply_linear(p, x, compute_dtype=None):
+    """Dense layer; with a low-precision `compute_dtype` the matmul runs in
+    that dtype on the MXU with float32 accumulation."""
+    if compute_dtype is not None:
+        y = jnp.dot(x.astype(compute_dtype), p["w"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        return y + p["b"]
     return x @ p["w"] + p["b"]
+
+
+def resolve_compute_dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float16": jnp.float16}.get(name)
 
 
 def apply_layer_norm(p, x, eps: float = 1e-5):

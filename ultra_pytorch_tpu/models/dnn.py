@@ -28,6 +28,12 @@ class DNN(base.BaseRanker):
             "hidden_layer_sizes": [512, 256, 128],
             "activation_func": "elu",
             "norm": "layer",
+            # bfloat16 runs the matmuls on the MXU in half precision with
+            # f32 accumulation; LayerNorm statistics stay in f32.
+            "compute_dtype": "float32",
+            # Fused Pallas kernel: whole layer chain per row tile in VMEM
+            # (ops/pallas/mlp.py); falls back to interpret mode off-TPU.
+            "use_pallas": False,
         }
 
     def init(self, rng: jax.Array, feature_size: int):
@@ -47,12 +53,18 @@ class DNN(base.BaseRanker):
               rng=None, is_training: bool = False) -> jax.Array:
         act = base.ACTIVATIONS[self.hparams.activation_func]
         use_norm = self.hparams.norm == "layer"
+        if self.hparams.get("use_pallas"):
+            from ultra_pytorch_tpu.ops.pallas.mlp import fused_mlp_score
+            return fused_mlp_score(params["layers"], features,
+                                   activation=act, use_norm=use_norm)
+        cdtype = base.resolve_compute_dtype(
+            self.hparams.get("compute_dtype", "float32"))
         x = features
         n_layers = len(params["layers"])
         for j, layer in enumerate(params["layers"]):
             if use_norm:
                 x = base.apply_layer_norm(layer["norm"], x)
-            x = base.apply_linear(layer["linear"], x)
+            x = base.apply_linear(layer["linear"], x, cdtype)
             if j != n_layers - 1:
                 x = act(x)
         return jnp.squeeze(x, -1)

@@ -144,8 +144,39 @@ class Experiment:
                                                    donate_argnums=(0,))
         return self._compiled["train_step"]
 
-    def train_steps(self, num_steps: int):
-        """Run `num_steps` fused steps; returns mean metrics of the window."""
+    def _train_multi_fn(self, window: int):
+        """A whole checkpoint window as ONE compiled program: lax.scan over
+        `window` fused steps, so the host dispatches once per window
+        instead of once per step (the reference pays full host-side batch
+        assembly every step, ref ``main.py:151-223``)."""
+        key = ("train_multi", window)
+        if key not in self._compiled:
+            feed = self.feeds["train"]
+            alg = self.algorithm
+
+            def body(carry, _):
+                state, rng = carry
+                rng, k_batch, k_train = jax.random.split(rng, 3)
+                batch = feed.train_batch(k_batch, state)
+                state, metrics = alg.train_step(state, batch, k_train)
+                return (state, rng), metrics
+
+            def multi(state, rng):
+                (state, rng), metrics = jax.lax.scan(
+                    body, (state, rng), None, length=window)
+                return state, rng, jax.tree_util.tree_map(
+                    lambda m: jnp.mean(m, axis=0), metrics)
+
+            self._compiled[key] = jax.jit(multi, donate_argnums=(0, 1))
+        return self._compiled[key]
+
+    def train_steps(self, num_steps: int, fuse_window: bool = True):
+        """Run `num_steps` steps; returns mean metrics of the window."""
+        if fuse_window and num_steps > 1:
+            multi = self._train_multi_fn(num_steps)
+            self.state, self._data_rng, metrics = multi(
+                self.state, self._data_rng)
+            return {k: float(v) for k, v in metrics.items()}
         step_fn = self._train_step_fn()
         agg = None
         for _ in range(num_steps):
