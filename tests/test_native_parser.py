@@ -70,9 +70,11 @@ def test_native_speed_smoke(built, tmp_path):
                     f"{i + 1}:{rng.uniform(-1, 1):.6f}" for i in range(136))
                 f.write(f"{int(rng.integers(0, 3))} qid:{q} {toks}\n")
 
-    t0 = time.perf_counter()
-    out = native.parse_letor_file(str(fn), native.FORMAT_LIBSVM, None)
-    t_native = time.perf_counter() - t0
+    t_native = float("inf")
+    for _ in range(3):  # min-of-3: robust to CPU contention from other tests
+        t0 = time.perf_counter()
+        out = native.parse_letor_file(str(fn), native.FORMAT_LIBSVM, None)
+        t_native = min(t_native, time.perf_counter() - t0)
     assert out is not None
     feats, labels, qids = out
     assert feats.shape == (8000, 136)
