@@ -1,0 +1,93 @@
+"""Ranker unit tests: shapes, differentiability, structural properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultra_pytorch_tpu.models import DLCM, DNN, GSF, Linear, SetRank
+from ultra_pytorch_tpu.models import base as mbase
+
+RANKERS = [
+    (Linear, ""),
+    (DNN, "hidden_layer_sizes=[32, 16]"),
+    (SetRank, "d_model=32,num_heads=4,num_layers=1,diff=16"),
+    (DLCM, "embed_size=16,hidden_size=16"),
+    (GSF, "group_size=2,hidden_layer_sizes=[32]"),
+]
+
+
+@pytest.mark.parametrize("cls,hp", RANKERS,
+                         ids=[c.__name__ for c, _ in RANKERS])
+def test_shapes_and_grads(cls, hp):
+    ranker = cls(hp, 12)
+    params = ranker.init(jax.random.PRNGKey(0), 12)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 7, 12))
+    mask = jnp.ones((3, 7))
+    scores = ranker.apply(params, x, mask)
+    assert scores.shape == (3, 7)
+    assert np.isfinite(np.asarray(scores)).all()
+
+    def loss(p):
+        return jnp.sum(ranker.apply(p, x, mask) ** 2)
+
+    grads = jax.grad(loss)(params)
+    total = sum(float(jnp.abs(g).sum())
+                for g in jax.tree_util.tree_leaves(grads))
+    assert total > 0
+
+
+def test_setrank_permutation_equivariance():
+    """SetRank scores must permute with the input docs (self-attention has
+    no positional encoding, ref SetRank.py)."""
+    ranker = SetRank("d_model=32,num_heads=4,num_layers=1,diff=16", 8)
+    params = ranker.init(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 8))
+    perm = jnp.asarray([4, 2, 0, 1, 3])
+    s1 = ranker.apply(params, x)
+    s2 = ranker.apply(params, x[:, perm, :])
+    np.testing.assert_allclose(np.asarray(s1[:, perm]), np.asarray(s2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dlcm_uses_list_context():
+    """DLCM is NOT pointwise: changing another doc must change my score."""
+    ranker = DLCM("embed_size=16,hidden_size=16", 8)
+    params = ranker.init(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 8))
+    s1 = ranker.apply(params, x)
+    x2 = x.at[0, 4, :].set(10.0)
+    s2 = ranker.apply(params, x2)
+    assert abs(float(s1[0, 0] - s2[0, 0])) > 1e-6
+
+
+def test_gsf_group_size_one_is_pointwise():
+    ranker = GSF("group_size=1,hidden_layer_sizes=[16]", 8)
+    params = ranker.init(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 8))
+    s1 = ranker.apply(params, x)
+    x2 = x.at[0, 4, :].set(10.0)
+    s2 = ranker.apply(params, x2)
+    np.testing.assert_allclose(np.asarray(s1[0, :4]), np.asarray(s2[0, :4]),
+                               rtol=1e-5)
+
+
+def test_noise_spec_excludes_norm_params():
+    dnn = DNN("hidden_layer_sizes=[8]", 4)
+    params = dnn.init(jax.random.PRNGKey(0), 4)
+    spec = mbase.noise_spec(params)
+    assert float(spec["layers"][0]["norm"]["scale"].sum()) == 0.0
+    assert float(spec["layers"][0]["linear"]["w"].sum()) > 0.0
+
+
+def test_perturb_roundtrip():
+    dnn = Linear("", 4)
+    params = dnn.init(jax.random.PRNGKey(0), 4)
+    noise = mbase.dbgd_noise_like(jax.random.PRNGKey(1), params)
+    p2 = mbase.perturb(params, noise, 0.5)
+    diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)))
+    assert diff > 0
+    # norm params unperturbed
+    np.testing.assert_array_equal(np.asarray(params["norm"]["scale"]),
+                                  np.asarray(p2["norm"]["scale"]))

@@ -1,0 +1,153 @@
+"""Convergence comparison: reference ULTRA_pytorch vs this framework.
+
+Trains the reference's DLA (torch, CPU, with the same one-line cast shim as
+tools/bench_reference.py) and our DLA (TPU or CPU) on the SAME synthetic
+ULTRA-format dataset with the benchmark protocol, evaluating valid-split
+nDCG@k with EACH side's own metric stack (the stacks themselves are parity-
+tested in tests/test_metrics.py). Results land in BASELINE.md.
+
+Usage:
+  python tools/make_toy_data.py /tmp/conv_data --queries 400
+  python tools/compare_convergence.py ref /tmp/conv_data <steps>
+  python tools/compare_convergence.py ours /tmp/conv_data <steps>
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+
+def run_reference(data_dir, steps, ref_path="/root/reference"):
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="refconv_")
+    os.chdir(tmp)
+    os.symlink(os.path.join(ref_path, "example"),
+               os.path.join(tmp, "example"))
+    sys.path.insert(0, ref_path)
+
+    import numpy as np
+    import torch
+
+    import ultra.utils.data_utils as data_utils
+    from ultra.input_layer.click_simulation_feed import ClickSimulationFeed
+    from ultra.input_layer.direct_label_feed import DirectLabelFeed
+    from ultra.learning_algorithm.base_algorithm import BaseAlgorithm
+    from ultra.learning_algorithm.dla import DLA
+
+    def _patched(self, input_feed, list_size):
+        self.labels = []
+        self.docid_inputs = []
+        self.letor_features = input_feed["letor_features"]
+        for i in range(list_size):
+            self.docid_inputs.append(np.asarray(
+                input_feed[self.docid_inputs_name[i]], dtype=np.int64))
+            self.labels.append(input_feed[self.labels_name[i]])
+        self.labels = torch.from_numpy(np.transpose(np.asarray(self.labels)))
+        if self.is_cuda_avail:
+            self.labels = self.labels.to(device=self.cuda)
+        self.docid_inputs = torch.as_tensor(
+            np.asarray(self.docid_inputs), dtype=torch.int64)
+
+    BaseAlgorithm.create_input_feed = _patched
+
+    train = data_utils.read_data(data_dir + "/", "train", None)
+    valid = data_utils.read_data(data_dir + "/", "valid", None)
+    max_candidate = max(train.rank_list_size, valid.rank_list_size)
+    exp_settings = {
+        "train_input_feed": "ultra.input_layer.ClickSimulationFeed",
+        "train_input_hparams": "",
+        "ranking_model": "ultra.ranking_model.DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[512, 256, 128]",
+        "learning_algorithm": "ultra.learning_algorithm.DLA",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg", "mrr"],
+        "metrics_topn": [3, 5, 10],
+        "max_candidate_num": max_candidate,
+        "selection_bias_cutoff": min(10, max_candidate),
+    }
+    train.pad(max_candidate)
+    valid.pad(max_candidate)
+
+    model = DLA(train, exp_settings)
+    feed = ClickSimulationFeed(model, 256, "")
+    vfeed = DirectLabelFeed(model, 256, "")
+
+    def validate():
+        summaries, counts = [], []
+        idx = 0
+        while idx < len(valid.initial_list):
+            input_feed, _ = vfeed.get_next_batch(idx, valid,
+                                                 check_validation=False)
+            count = len(input_feed[model.labels_name[0]])
+            model.validation(input_feed)
+            summaries.append(dict(model.eval_summary))
+            counts.append(count)
+            idx += count
+        return data_utils.merge_Summary(summaries, counts)
+
+    t0 = time.time()
+    sink = io.StringIO()
+    for step in range(steps):
+        input_feed, _ = feed.get_batch(train, check_validation=True)
+        with contextlib.redirect_stdout(sink):
+            model.train(input_feed)
+        if (step + 1) % max(steps // 5, 1) == 0:
+            with contextlib.redirect_stdout(sink):
+                summary = validate()
+            vals = {k: float(v) for k, v in summary.items()}
+            print(f"[ref] step {step + 1} "
+                  + " ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items())),
+                  flush=True)
+    print(f"[ref] total {time.time() - t0:.1f}s")
+
+
+def run_ours(data_dir, steps):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from ultra_pytorch_tpu.run.experiment import Experiment
+
+    settings = {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams":
+            f"click_model_json={repo}/example/ClickModel/pbm_0.1_1.0_4_1.0.json",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[512, 256, 128]",
+        "learning_algorithm": "DLA",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg", "mrr"],
+        "metrics_topn": [3, 5, 10],
+        "objective_metric": "ndcg_10",
+        "selection_bias_cutoff": 10,
+    }
+    exp = Experiment(settings, data_dir, "/tmp/conv_ours_model",
+                     batch_size=256)
+    exp.setup()
+    exp.init_state()
+    t0 = time.time()
+    window = max(steps // 5, 1)
+    done = 0
+    while done < steps:
+        w = min(window, steps - done)
+        exp.train_steps(w)
+        done += w
+        summary = exp.validate("valid")
+        print(f"[ours] step {done} "
+              + " ".join(f"{k}={v:.4f}" for k, v in sorted(summary.items())),
+              flush=True)
+    print(f"[ours] total {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    which, data_dir, steps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    if which == "ref":
+        run_reference(os.path.abspath(data_dir), steps)
+    else:
+        run_ours(os.path.abspath(data_dir), steps)
