@@ -68,3 +68,37 @@ def test_dnn_use_pallas_hparam():
     ref = DNN("hidden_layer_sizes=[16]", 12).apply(params, x)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_softmax_loss_matches_reference():
+    from ultra_pytorch_tpu.ops import losses
+    from ultra_pytorch_tpu.ops.pallas.listwise_loss import fused_softmax_loss
+
+    rng = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    B, L = 6, 9
+    s = jax.random.normal(k1, (B, L))
+    y = (jax.random.uniform(k2, (B, L)) < 0.3).astype(jnp.float32)
+    w = jax.random.uniform(k3, (B, L)) + 0.5
+    m = jnp.ones((B, L)).at[:, 7:].set(0.0)
+
+    ref = losses.softmax_loss(s, y, w, mask=m)
+    fused = fused_softmax_loss(s, y, w, m, interpret=True)
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+    g_ref = jax.grad(lambda s: losses.softmax_loss(s, y, w, mask=m))(s)
+    g_fused = jax.grad(
+        lambda s: fused_softmax_loss(s, y, w, m, interpret=True))(s)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_softmax_loss_no_weights_no_mask():
+    from ultra_pytorch_tpu.ops import losses
+    from ultra_pytorch_tpu.ops.pallas.listwise_loss import fused_softmax_loss
+
+    s = jax.random.normal(jax.random.PRNGKey(0), (4, 5))
+    y = jnp.asarray([[1, 0, 0, 1, 0]] * 4, jnp.float32)
+    ref = losses.softmax_loss(s, y)
+    fused = fused_softmax_loss(s, y, interpret=True)
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)

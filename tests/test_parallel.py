@@ -121,3 +121,22 @@ def test_batch_size_divisibility_check(toy, click_model_json):
     feed = ClickSimulationFeed(alg, 12, settings["train_input_hparams"], dev)
     with pytest.raises(ValueError):
         make_dp_train_step(alg, feed, mesh)
+
+
+def test_shard_queries_for_host(toy):
+    from ultra_pytorch_tpu.parallel import shard_queries_for_host
+
+    parts = [shard_queries_for_host(toy, host_id=h, num_hosts=3)
+             for h in range(3)]
+    assert sum(p.num_queries for p in parts) == toy.num_queries
+    # each stripe's init_list must reference only its own compacted rows
+    for p in parts:
+        il = p.initial_list
+        valid = il[il >= 0]
+        assert valid.max() < p.features.shape[0]
+        assert len(p.dids) == p.features.shape[0]
+    # stripe features equal the rows the original referenced
+    p0 = parts[0]
+    orig_rows = np.unique(toy.initial_list[:p0.num_queries][
+        toy.initial_list[:p0.num_queries] >= 0])
+    np.testing.assert_allclose(p0.features, toy.features[orig_rows])

@@ -132,16 +132,24 @@ def run_ours(data_dir, steps):
     exp.setup()
     exp.init_state()
     t0 = time.time()
-    window = max(steps // 5, 1)
+    eval_every = max(steps // 5, 1)
+    # Keep the compiled-program count low and scan windows modest: remote
+    # TPU compilation is minutes per program, so reuse one window size.
+    window = 25
     done = 0
+    since_eval = 0
     while done < steps:
         w = min(window, steps - done)
         exp.train_steps(w)
         done += w
-        summary = exp.validate("valid")
-        print(f"[ours] step {done} "
-              + " ".join(f"{k}={v:.4f}" for k, v in sorted(summary.items())),
-              flush=True)
+        since_eval += w
+        if since_eval >= eval_every or done >= steps:
+            since_eval = 0
+            summary = exp.validate("valid")
+            print(f"[ours] step {done} "
+                  + " ".join(f"{k}={v:.4f}"
+                             for k, v in sorted(summary.items())),
+                  flush=True)
     print(f"[ours] total {time.time() - t0:.1f}s")
 
 

@@ -1,0 +1,66 @@
+"""On-chip PBM click sampling (Pallas/TPU, hardware PRNG).
+
+Click simulation with the position-biased model is one Bernoulli draw per
+(item, position): ``click = U < exam(pos)^eta * click_prob[grade]``
+(ref ``ultra/utils/click_models.py:99-107``). This kernel draws the uniform
+variates with the TPU's per-core PRNG (``pltpu.prng_random_bits``) and
+emits clicks for a whole [B, L] batch without any HBM round-trip for the
+randomness — synthetic feedback never leaves the chip.
+
+The regular jnp sampler in ``sim/click_models.py`` remains the reference
+implementation (and supports UBM/cascade); this kernel is the PBM fast
+path, validated statistically against it on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(seed_ref, probs_ref, mask_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0])
+    probs = probs_ref[:]
+    # uniform in [0, 1) from 24 high bits (float32-exact)
+    bits = pltpu.prng_random_bits(probs.shape)
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    out_ref[:] = (u < probs).astype(jnp.float32) * mask_ref[:]
+
+
+def pallas_sample_pbm_clicks(model_params, rng: jax.Array,
+                             labels: jax.Array, mask: jax.Array = None,
+                             interpret: bool = None) -> jax.Array:
+    """PBM clicks [B, L] using the on-chip PRNG.
+
+    `model_params` is a sim.click_models.ClickModelParams (PBM only).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if mask is None:
+        mask = jnp.ones_like(labels)
+    L = labels.shape[1]
+    exam_table = model_params.exam_prob ** model_params.eta
+    pos = jnp.minimum(jnp.arange(L), exam_table.shape[0] - 1)
+    exam = exam_table[pos][None, :]                        # [1, L]
+    grades = jnp.clip(labels.astype(jnp.int32), 0,
+                      model_params.click_prob.shape[0] - 1)
+    click_p = model_params.click_prob[grades]              # [B, L]
+    probs = exam * click_p
+    seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    return pl.pallas_call(
+        _kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(labels.shape, jnp.float32),
+        interpret=interpret,
+    )(seed, probs.astype(jnp.float32), mask.astype(jnp.float32))

@@ -3,5 +3,6 @@ from ultra_pytorch_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_dataset,
+    shard_queries_for_host,
     make_dp_train_step,
 )

@@ -61,6 +61,48 @@ def shard_dataset(dev_dataset, mesh: Mesh):
         max_label=dev_dataset.max_label)
 
 
+def shard_queries_for_host(dataset, host_id: Optional[int] = None,
+                           num_hosts: Optional[int] = None):
+    """Per-host input sharding for multi-host data parallelism.
+
+    Each host keeps a contiguous stripe of queries (and only the feature
+    rows those queries reference), so MSLR/Istella-scale feature tables
+    are never replicated across hosts — per-host sharded LibSVM ingestion
+    per the BASELINE north star. Device-level batches are then drawn from
+    the host-local stripe by `make_dp_train_step`'s per-shard rng.
+
+    Args:
+      dataset: a host-side RankingDataset (modified copy returned).
+      host_id/num_hosts: default to jax.process_index()/process_count().
+    """
+    import dataclasses
+
+    host_id = jax.process_index() if host_id is None else host_id
+    num_hosts = jax.process_count() if num_hosts is None else num_hosts
+    if num_hosts <= 1:
+        return dataset
+    q = dataset.num_queries
+    start = (q * host_id) // num_hosts
+    stop = (q * (host_id + 1)) // num_hosts
+    il = dataset.initial_list[start:stop]
+    # compact the feature table to rows referenced by this stripe
+    used = np.unique(il[il >= 0])
+    remap = -np.ones(dataset.features.shape[0], dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    il_new = np.where(il >= 0, remap[np.maximum(il, 0)], -1)
+    return dataclasses.replace(
+        dataset,
+        features=dataset.features[used],
+        initial_list=il_new,
+        labels=dataset.labels[start:stop],
+        initial_scores=(dataset.initial_scores[start:stop]
+                        if dataset.initial_scores is not None else None),
+        qids=dataset.qids[start:stop],
+        dids=[dataset.dids[i] for i in used],
+        initial_list_lengths=None,
+    )
+
+
 def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS):
     """Build a jitted data-parallel fused train step.
 
