@@ -29,6 +29,53 @@ from ultra_pytorch_tpu.algorithms.base import BaseAlgorithm, TrainState
 from ultra_pytorch_tpu.utils.registry import register
 
 
+def pdgd_pair_weights(scores0: jax.Array, labels_full: jax.Array,
+                      mask_full: jax.Array, L: int,
+                      tau: float) -> jax.Array:
+    """Debiasing weights for all (clicked l, candidate k) pairs.
+
+    Returns [B, L, L] with zero at invalid pairs. Mirrors the reference's
+    per-pair flipped-denominator computation (ref ``pdgd.py:138-183``)
+    using the identity that swapping positions (lo, hi) changes only
+    denominators d_m for lo < m <= hi, each by e_lo - e_hi.
+    """
+    scores0 = scores0 - jnp.max(scores0, axis=1, keepdims=True)
+    e = jnp.exp(tau * scores0) * mask_full
+    d = jnp.cumsum(e[:, ::-1], axis=1)[:, ::-1]
+    log_d = jnp.where(d > 0, jnp.log(jnp.maximum(d, 1e-30)), 0.0)
+
+    labels = labels_full[:, :L]
+    mask = mask_full[:, :L]
+    l_idx = jnp.arange(L)[:, None]
+    k_idx = jnp.arange(L)[None, :]
+    pair_ok = ((labels[:, :, None] > 0)
+               & (labels[:, None, :] < labels[:, :, None])
+               & (k_idx <= l_idx + 1)[None]
+               & (mask[:, :, None] > 0) & (mask[:, None, :] > 0))
+
+    lo = jnp.minimum(l_idx, k_idx)
+    hi = jnp.maximum(l_idx, k_idx)
+    e_top = e[:, :L]
+    d_top = d[:, :L]
+    log_d_top = log_d[:, :L]
+    B = e.shape[0]
+    delta = (jnp.take_along_axis(e_top, jnp.broadcast_to(
+                lo.reshape(1, -1), (B, L * L)), axis=1)
+             - jnp.take_along_axis(e_top, jnp.broadcast_to(
+                hi.reshape(1, -1), (B, L * L)), axis=1)
+             ).reshape(B, L, L)
+
+    m_idx = jnp.arange(L)[None, None, :]
+    in_range = (m_idx > lo[:, :, None]) & (m_idx <= hi[:, :, None])
+    d_flip = d_top[:, None, None, :] + delta[:, :, :, None]
+    log_flip = jnp.where(d_flip > 0,
+                         jnp.log(jnp.maximum(d_flip, 1e-30)), 0.0)
+    dlog = jnp.sum(in_range[None] *
+                   (log_flip - log_d_top[:, None, None, :]), axis=-1)
+    weights = 1.0 / (1.0 + jnp.exp(jnp.minimum(dlog, 20.0)))
+    return weights * pair_ok
+
+
 @register("algorithm", "PDGD", aliases=["ultra.learning_algorithm.PDGD"])
 class PDGD(BaseAlgorithm):
 
@@ -55,47 +102,8 @@ class PDGD(BaseAlgorithm):
         # -- no-grad pass over the full candidate list -------------------
         scores0 = self.score_with_params(state.params, batch,
                                          is_training=False)
-        scores0 = scores0 - jnp.max(scores0, axis=1, keepdims=True)
-        e = jnp.exp(tau * scores0) * mask_full    # zero pads (ref :120-126)
-        d = jnp.cumsum(e[:, ::-1], axis=1)[:, ::-1]          # [B, Lc]
-        log_d = jnp.where(d > 0, jnp.log(jnp.maximum(d, 1e-30)), 0.0)
-        sum_log_d = jnp.sum(log_d, axis=1)                   # [B]
-
-        # -- pair grid over the top-L positions --------------------------
-        labels = labels_full[:, :L]
-        mask = mask_full[:, :L]
-        l_idx = jnp.arange(L)[:, None]            # clicked doc position
-        k_idx = jnp.arange(L)[None, :]            # candidate negative
-        pair_ok = ((labels[:, :, None] > 0)
-                   & (labels[:, None, :] < labels[:, :, None])
-                   & (k_idx <= l_idx + 1)[None]
-                   & (mask[:, :, None] > 0) & (mask[:, None, :] > 0))
-
-        lo = jnp.minimum(l_idx, k_idx)            # [L, L]
-        hi = jnp.maximum(l_idx, k_idx)
-        e_top = e[:, :L]
-        d_top = d[:, :L]
-        log_d_top = log_d[:, :L]
-        delta = (jnp.take_along_axis(e_top, jnp.broadcast_to(
-                    lo.reshape(1, -1), (e.shape[0], L * L)), axis=1)
-                 - jnp.take_along_axis(e_top, jnp.broadcast_to(
-                    hi.reshape(1, -1), (e.shape[0], L * L)), axis=1)
-                 ).reshape(-1, L, L)              # [B, L, L]
-
-        m_idx = jnp.arange(L)[None, None, :]      # [1, 1, L]
-        in_range = ((m_idx > lo[:, :, None]) &
-                    (m_idx <= hi[:, :, None]))    # [L, L, L]
-        d_flip = d_top[:, None, None, :] + delta[:, :, :, None]
-        log_flip = jnp.where(d_flip > 0,
-                             jnp.log(jnp.maximum(d_flip, 1e-30)), 0.0)
-        dlog = jnp.sum(in_range[None] *
-                       (log_flip - log_d_top[:, None, None, :]), axis=-1)
-        # weight = 1 / (1 + exp(min(dlog_total, 20)))  (ref :173-176)
-        dlog_total = dlog  # sum_log_flipped - sum_log_d (terms outside the
-        # swap range cancel, so sum_log_d never enters explicitly)
-        del sum_log_d
-        weights = 1.0 / (1.0 + jnp.exp(jnp.minimum(dlog_total, 20.0)))
-        weights = jax.lax.stop_gradient(weights * pair_ok)
+        weights = jax.lax.stop_gradient(
+            pdgd_pair_weights(scores0, labels_full, mask_full, L, tau))
 
         def loss_of(params):
             scores = self.score_with_params(params, batch)[:, :L]
