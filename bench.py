@@ -22,6 +22,10 @@ import time
 
 import numpy as np
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/ultra_tpu_jax"))
+
 # Reference throughput (queries/s) of ULTRA_pytorch DLA/DNN/batch-256 on this
 # host's CPU, measured via tools/bench_reference.py -> BASELINE.md.
 REFERENCE_QPS = float(os.environ.get("ULTRA_REF_QPS", "2142"))

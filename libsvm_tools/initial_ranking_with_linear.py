@@ -50,6 +50,8 @@ def _dense(rows, n_feat):
 def train_and_predict(train_file, valid_file, test_file, output_path,
                       steps=500, seed=0):
     import jax
+    if os.environ.get("ULTRA_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ULTRA_PLATFORM"])
     import jax.numpy as jnp
     import optax
 

@@ -20,6 +20,12 @@ import time
 
 import jax
 
+# Persistent compilation cache: TPU (remote) compilation can take minutes
+# per program in some deployments; cached executables make reruns instant.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/ultra_tpu_jax"))
+
 # Optional platform override (e.g. ULTRA_PLATFORM=cpu for local debugging);
 # the deployment environment may register its TPU backend programmatically,
 # so an env-var JAX_PLATFORMS override alone is not reliable.
