@@ -152,44 +152,49 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
         self.check_validation = check_validation
         self._load_click_model()
 
-    def _simulate(self, model, rng, qs) -> Tuple[Batch, jax.Array]:
+    def _simulate_clicks(self, model, rng, qs
+                         ) -> Tuple[jax.Array, jax.Array]:
+        """Clicks for query indices `qs` WITHOUT touching the feature table
+        — the [B, L] label/mask gathers are ~100x cheaper than the
+        [B, L, F] feature gather, so the resample loop runs on these alone
+        and the feature gather happens exactly once per batch."""
         L = self.rank_list_size
-        batch = self.dataset.gather(qs, list_size=L)
-        labels, mask = batch["labels"], batch["mask"]
+        labels = self.dataset.labels[qs][:, :L]
+        mask = self.dataset.mask[qs][:, :L]
         if self.hparams.oracle_mode:
             clicks = labels * mask
         else:
             clicks, _, _ = cm.sample_clicks(model, rng, labels, mask)
-        has_click = (clicks.sum(axis=1) > 0)
-        batch = dict(batch)
-        batch["labels"] = clicks
-        return batch, has_click
+        return clicks, (clicks.sum(axis=1) > 0)
 
     def train_batch(self, rng: jax.Array, state) -> Batch:
         model = self._model_at_step(state.step)
         Q = self.dataset.num_queries
         k0, rng = jax.random.split(rng)
         qs = jax.random.randint(k0, (self.batch_size,), 0, Q)
-        batch, valid = self._simulate(model, rng, qs)
-        if not self.check_validation or self.hparams.oracle_mode:
-            return batch
-        rounds = self.RESAMPLE_ROUNDS
+        clicks, valid = self._simulate_clicks(model, rng, qs)
+        if self.check_validation and not self.hparams.oracle_mode:
+            rounds = self.RESAMPLE_ROUNDS
 
-        def body(carry, key):
-            batch, valid = carry
-            kq, kc = jax.random.split(key)
-            qs2 = jax.random.randint(kq, (self.batch_size,), 0, Q)
-            batch2, valid2 = self._simulate(model, kc, qs2)
-            take_new = (~valid) & valid2
-            sel = lambda a, b: jnp.where(
-                take_new.reshape((-1,) + (1,) * (a.ndim - 1)), b, a)
-            batch = jax.tree_util.tree_map(sel, batch, batch2)
-            return (batch, valid | valid2), None
+            def body(carry, key):
+                qs, clicks, valid = carry
+                kq, kc = jax.random.split(key)
+                qs2 = jax.random.randint(kq, (self.batch_size,), 0, Q)
+                clicks2, valid2 = self._simulate_clicks(model, kc, qs2)
+                take = (~valid) & valid2
+                qs = jnp.where(take, qs2, qs)
+                clicks = jnp.where(take[:, None], clicks2, clicks)
+                return (qs, clicks, valid | valid2), None
 
-        keys = jax.random.split(jax.random.fold_in(rng, 1), rounds)
-        (batch, valid), _ = jax.lax.scan(body, (batch, valid), keys)
-        # Lists that never clicked are masked out of the loss entirely.
-        batch["mask"] = batch["mask"] * valid[:, None]
+            keys = jax.random.split(jax.random.fold_in(rng, 1), rounds)
+            (qs, clicks, valid), _ = jax.lax.scan(
+                body, (qs, clicks, valid), keys)
+
+        batch = self.dataset.gather(qs, list_size=self.rank_list_size)
+        batch["labels"] = clicks
+        if self.check_validation and not self.hparams.oracle_mode:
+            # Lists that never clicked are masked out of the loss entirely.
+            batch["mask"] = batch["mask"] * valid[:, None]
         return batch
 
 

@@ -63,13 +63,27 @@ def _layer_chain(h, flat, n_layers, act, use_norm):
     return h
 
 
+def _tpu_safe_act(act):
+    """Mosaic has no lowering for ``expm1``, which ``jax.nn.elu``/``selu``
+    call; substitute an exactly-equivalent exp-based formulation inside the
+    kernel (the jnp backward recompute keeps the original)."""
+    if act is jax.nn.elu:
+        return lambda x: jnp.where(
+            x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+    if act is jax.nn.selu:
+        scale, alpha = 1.0507009873554805, 1.6732632423543772
+        return lambda x: scale * jnp.where(
+            x > 0, x, alpha * (jnp.exp(jnp.minimum(x, 0.0)) - 1.0))
+    return act
+
+
 def _kernel(n_layers, act, use_norm, *refs):
     x_ref = refs[0]
     out_ref = refs[-1]
     param_refs = refs[1:-1]
     flat = [r[:] for r in param_refs]
     h = x_ref[:]
-    h = _layer_chain(h, flat, n_layers, act, use_norm)
+    h = _layer_chain(h, flat, n_layers, _tpu_safe_act(act), use_norm)
     out_ref[:] = h
 
 
