@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -35,7 +36,7 @@ LIST_SIZE = 10
 FEATURES = 136
 NUM_QUERIES = 4096
 WARMUP_STEPS = 5
-BENCH_STEPS = 100
+BENCH_STEPS = 400
 
 
 def main():
@@ -70,7 +71,9 @@ def main():
             state, metrics = alg.train_step(state, batch, k_train)
             return (state, rng), metrics["loss"]
 
-        @jax.jit
+        # Donating (state, rng) lets XLA update the TrainState in place —
+        # no copy of params/optimizer buffers between dispatches.
+        @partial(jax.jit, donate_argnums=(0, 1))
         def run_chunk(state, rng):
             (state, rng), losses = jax.lax.scan(
                 body, (state, rng), None, length=CHUNK)
