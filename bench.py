@@ -35,8 +35,9 @@ BATCH = 256
 LIST_SIZE = 10
 FEATURES = 136
 NUM_QUERIES = 4096
-WARMUP_STEPS = 5
 BENCH_STEPS = 400
+# Warmup is ONE compiled chunk (CHUNK=25 steps): the first run_chunk call
+# below compiles and executes before timing starts.
 
 
 def main():

@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--test_while_train", action="store_true")
     p.add_argument("--test_only", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", type=str, default="auto",
+                   help="data parallelism: 'auto' (all devices when >1 and "
+                        "batch_size divides), 'off', or a device count")
     p.add_argument("--log_dir", type=str, default="",
                    help="TensorBoard/JSONL metric logs (default <model_dir>/logs)")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -70,12 +73,22 @@ def build_experiment(args, splits):
                                 args.selection_bias_cutoff)
     if args.click_model_dir:
         exp_settings["click_model_dir"] = args.click_model_dir
+    if args.dp == "auto":
+        dp = None
+    elif args.dp in ("off", "0", "1"):
+        dp = 0
+    else:
+        dp = int(args.dp)
     exp = Experiment(
         exp_settings, args.data_dir, args.model_dir,
         batch_size=args.batch_size, data_format=args.data_format,
         seed=args.seed,
-        rank_cut=args.max_list_cutoff if args.max_list_cutoff > 0 else None)
+        rank_cut=args.max_list_cutoff if args.max_list_cutoff > 0 else None,
+        dp=dp)
     exp.setup(splits=splits)
+    if exp.mesh is not None:
+        print(f"Data parallelism: {exp.mesh.devices.size}-device mesh "
+              f"({jax.process_count()} host(s))")
     return exp
 
 

@@ -152,3 +152,33 @@ def test_oracle_mode_feeds_relevance(toy_data_dir, click_model_json):
     batch = feed.train_batch(jax.random.PRNGKey(1), state)
     labels = np.asarray(batch["labels"])
     assert labels.max() > 1.0  # graded relevance, not binary clicks
+
+
+def test_online_feeds_accept_dynamic_bias_hparams(toy_data_dir,
+                                                  click_model_json):
+    """A reference-style ONLINE config with dynamic bias must parse and
+    schedule eta (ref deterministic_online_simulation_feed.py:48-52,230-234;
+    stochastic_online_simulation_feed.py:49-52 declare these hparams)."""
+    from ultra_pytorch_tpu.input_layer.feeds import (
+        DeterministicOnlineSimulationFeed, StochasticOnlineSimulationFeed)
+
+    ds = data_lib.read_data(toy_data_dir, "train")
+    ds.pad(ds.rank_list_size)
+    settings = {"max_candidate_num": ds.rank_list_size,
+                "selection_bias_cutoff": 5,
+                "ranking_model": "Linear", "ranking_model_hparams": "",
+                "learning_algorithm": "NaiveAlgorithm",
+                "learning_algorithm_hparams": "",
+                "metrics": ["ndcg"], "metrics_topn": [5]}
+    alg = create_algorithm(settings, ds.feature_size, ds.max_label)
+    dev = ds.to_device()
+    state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
+    hp = (f"click_model_json={click_model_json},"
+          "dynamic_bias_eta_change=0.3,dynamic_bias_step_interval=20")
+    for cls in (DeterministicOnlineSimulationFeed,
+                StochasticOnlineSimulationFeed):
+        feed = cls(alg, 8, hp, dev)
+        assert abs(float(feed._eta_at_step(jnp.asarray(0))) - 1.0) < 1e-6
+        assert abs(float(feed._eta_at_step(jnp.asarray(45))) - 1.6) < 1e-6
+        batch = feed.train_batch(jax.random.PRNGKey(2), state)
+        assert np.isfinite(np.asarray(batch["labels"]).sum())

@@ -1,0 +1,81 @@
+"""Subprocess-level CLI smoke test.
+
+Drives ``python main.py`` end-to-end like the reference's whole test
+strategy does (ref ``tests/pipeline_test/test_pipeline.py:22-75``): train a
+few iterations with --test_while_train, assert the checkpoint exists, then
+a --test_only run writes metrics + a TREC ``.ranklist``. Exercises the
+arg plumbing, restore path, and auto-DP on the virtual CPU mesh.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["ULTRA_PLATFORM"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py")] + args,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, (
+        f"CLI failed:\nSTDOUT:\n{proc.stdout}\nSTDERR:\n{proc.stderr}")
+    return proc.stdout
+
+
+def test_cli_train_then_test_only(toy_data_dir, click_model_json, tmp_path):
+    settings = {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams": f"click_model_json={click_model_json}",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "test_input_feed": "DirectLabelFeed",
+        "test_input_hparams": "",
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[16]",
+        "learning_algorithm": "DLA",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg"],
+        "metrics_topn": [5],
+        "objective_metric": "ndcg_5",
+        "selection_bias_cutoff": 5,
+    }
+    setting_file = tmp_path / "settings.json"
+    setting_file.write_text(json.dumps(settings))
+    model_dir = tmp_path / "model"
+    out_dir = tmp_path / "out"
+
+    stdout = _run([
+        "--data_dir", toy_data_dir,
+        "--setting_file", str(setting_file),
+        "--model_dir", str(model_dir),
+        "--batch_size", "16",
+        "--max_train_iteration", "10",
+        "--steps_per_checkpoint", "4",
+        "--test_while_train",
+    ], cwd=str(tmp_path))
+    assert "Training done" in stdout
+    assert "test:" in stdout  # --test_while_train printed test metrics
+    assert os.path.isfile(model_dir / "DLA.ckpt.npz")
+
+    stdout = _run([
+        "--data_dir", toy_data_dir,
+        "--setting_file", str(setting_file),
+        "--model_dir", str(model_dir),
+        "--output_dir", str(out_dir),
+        "--test_only",
+    ], cwd=str(tmp_path))
+    assert "ndcg_5:" in stdout
+    assert "WARNING: no checkpoint" not in stdout  # restore must succeed
+    ranklist = out_dir / "test.ranklist"
+    assert ranklist.is_file()
+    # TREC format: qid Q0 did rank score model
+    first = ranklist.read_text().splitlines()[0].split()
+    assert len(first) == 6 and first[1] == "Q0"

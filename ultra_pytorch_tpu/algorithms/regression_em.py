@@ -60,8 +60,9 @@ class RegressionEM(BaseAlgorithm):
         p_e0_r1_c0 = (1.0 - propensity) * gamma / denom
         p_r1 = clicks + (1.0 - clicks) * p_e0_r1_c0
 
-        # Bernoulli pseudo-labels: ceil(p - U) (ref :20-34).
-        u = jax.random.uniform(rng, p_r1.shape)
+        # Bernoulli pseudo-labels: ceil(p - U) (ref :20-34). Per-example
+        # randomness -> per-shard stream under data parallelism.
+        u = jax.random.uniform(self.per_shard_rng(rng), p_r1.shape)
         ranker_labels = jnp.ceil(p_r1 - u)
 
         def loss_of(params):

@@ -210,6 +210,12 @@ class _OnlineSimulationFeed(BaseInputFeed, _ClickFeedMixin):
         return {
             "click_model_json": "./example/ClickModel/pbm_0.1_1.0_4_1.0.json",
             "oracle_mode": False,
+            # Dynamic bias severity schedule — declared on BOTH online feeds
+            # (ref deterministic_online_simulation_feed.py:48-52,
+            #  stochastic_online_simulation_feed.py:49-52); the schedule
+            # itself lives in _ClickFeedMixin._eta_at_step.
+            "dynamic_bias_eta_change": 0.0,
+            "dynamic_bias_step_interval": 1000,
             # stochastic feed only (ref stochastic_...py:43-44):
             "tau": 1.0,
         }

@@ -22,6 +22,12 @@ Documented divergences (reference bugs NOT copied — see SURVEY.md §7
     tensor (ref ``:567``); here OPA = sum(correct * w) / sum(w) (the
     TF-Ranking definition).
   * Precision honors the cutoff; the reference ignores it (ref ``:375-405``).
+  * Tie handling: the reference SHUFFLES tied scores before sorting
+    (ref ``metric_utils.py:49-85``); here the default is a deterministic
+    stable argsort (biased toward initial-list order on ties — e.g. an
+    untrained ranker emitting identical scores). Pass ``rng`` to
+    :func:`evaluate` (or use :func:`random_tie_break`) for the reference's
+    randomized behavior.
 
 Everything is pure jnp over ``[B, L]`` arrays and jit/vmap/shard_map safe.
 """
@@ -229,14 +235,43 @@ def mask_padding(scores: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(mask > 0, scores, PADDING_SCORE)
 
 
+def random_tie_break(rng: jax.Array, predictions: jax.Array) -> jax.Array:
+    """Perturb `predictions` so that TIED scores sort in uniformly random
+    order while every strict ordering is preserved.
+
+    The reference shuffles tied scores before sorting (ref
+    ``metric_utils.py:49-85`` sort_by_scores with shuffle_ties=True); a
+    deterministic stable argsort instead biases metrics toward initial-list
+    order when many scores tie (e.g. untrained rankers emitting zeros on
+    click data). This jit-safe equivalent adds per-entry uniform noise
+    strictly smaller than the smallest nonzero score gap in each list.
+    """
+    sorted_p = jnp.sort(predictions, axis=1)
+    diffs = jnp.diff(sorted_p, axis=1)
+    min_gap = jnp.min(jnp.where(diffs > 0, diffs, jnp.inf), axis=1,
+                      keepdims=True)
+    min_gap = jnp.where(jnp.isfinite(min_gap), min_gap, 1.0)
+    u = jax.random.uniform(rng, predictions.shape, minval=0.0, maxval=0.5)
+    return predictions + u * min_gap
+
+
 def evaluate(labels: jax.Array, predictions: jax.Array,
              metric_keys: Sequence[str], topns: Sequence[int],
              max_label: float, mask: Optional[jax.Array] = None,
-             weights: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
-    """Compute `{metric}_{n}` for every metric x cutoff in one call."""
+             weights: Optional[jax.Array] = None,
+             rng: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+    """Compute `{metric}_{n}` for every metric x cutoff in one call.
+
+    With `rng`, tied prediction scores are randomly ordered (the
+    reference's shuffle_ties behavior); without it the sort is a
+    deterministic stable argsort — a DOCUMENTED divergence that favors
+    initial-list order on tied scores (see :func:`random_tie_break`).
+    """
     if mask is not None:
         predictions = mask_padding(predictions, mask)
         labels = labels * mask
+    if rng is not None:
+        predictions = random_tie_break(rng, predictions)
     out: Dict[str, jax.Array] = {}
     for key in metric_keys:
         fn = make_ranking_metric_fn(key, list(topns), max_label=max_label)

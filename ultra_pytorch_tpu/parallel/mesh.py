@@ -103,11 +103,23 @@ def shard_queries_for_host(dataset, host_id: Optional[int] = None,
     )
 
 
-def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS):
-    """Build a jitted data-parallel fused train step.
+def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
+                       window: int = 1):
+    """Build a jitted data-parallel fused train step (or scan window).
 
     Returns step(state, rng) -> (state, metrics); `state` replicated, each
-    shard processes feed.batch_size // n_shards queries.
+    shard processes feed.batch_size // n_shards queries per step. With
+    `window > 1` the whole checkpoint window runs as ONE compiled program
+    (lax.scan inside the shard_map — same host-dispatch amortization as the
+    single-device Experiment._train_multi_fn) and `metrics` are the mean
+    over the window.
+
+    RNG convention: the rng passed to ``algorithm.train_step`` is
+    REPLICA-IDENTICAL; per-example randomness (batch sampling, click
+    simulation, REM's E-step draws) is folded per shard via the
+    ``algorithm.shard_rng`` hook bound here — see
+    ``algorithms/base.py`` for the rationale (keeps DBGD-family candidate
+    noise and NSGD's bad-noise memory consistent across replicas).
     """
     n = mesh.devices.size
     if feed.batch_size % n != 0:
@@ -117,25 +129,44 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS):
     per_shard = feed.batch_size // n
 
     def sharded_body(state, rng):
-        # Each shard gets a distinct rng stream.
         idx = jax.lax.axis_index(axis)
-        rng = jax.random.fold_in(rng, idx)
-        k_batch, k_train = jax.random.split(rng)
+        fold = lambda key: jax.random.fold_in(key, idx)
 
-        old_bs = feed.batch_size
-        feed.batch_size = per_shard
-        try:
-            batch = feed.train_batch(k_batch, state)
-        finally:
-            feed.batch_size = old_bs
+        def one_step(state, key):
+            k_batch, k_train = jax.random.split(key)
 
-        algorithm.grad_sync = partial(jax.lax.pmean, axis_name=axis)
-        try:
-            new_state, metrics = algorithm.train_step(state, batch, k_train)
-        finally:
-            algorithm.grad_sync = None
+            old_bs = feed.batch_size
+            feed.batch_size = per_shard
+            try:
+                batch = feed.train_batch(fold(k_batch), state)
+            finally:
+                feed.batch_size = old_bs
+
+            algorithm.grad_sync = partial(jax.lax.pmean, axis_name=axis)
+            algorithm.shard_rng = fold
+            try:
+                new_state, metrics = algorithm.train_step(
+                    state, batch, k_train)
+            finally:
+                algorithm.grad_sync = None
+                algorithm.shard_rng = None
+            return new_state, metrics
+
+        if window == 1:
+            state, metrics = one_step(state, rng)
+        else:
+            def body(carry, _):
+                state, rng = carry
+                rng, sub = jax.random.split(rng)
+                state, metrics = one_step(state, sub)
+                return (state, rng), metrics
+
+            (state, _), metrics = jax.lax.scan(
+                body, (state, rng), None, length=window)
+            metrics = jax.tree_util.tree_map(
+                lambda m: jnp.mean(m, axis=0), metrics)
         metrics = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
-        return new_state, metrics
+        return state, metrics
 
     from jax import shard_map
 

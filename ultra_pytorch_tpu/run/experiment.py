@@ -50,7 +50,16 @@ class Experiment:
     def __init__(self, exp_settings: Dict[str, Any], data_dir: str,
                  model_dir: str, batch_size: int = 256,
                  data_format: str = "ULTRA", seed: int = 0,
-                 rank_cut: Optional[int] = None):
+                 rank_cut: Optional[int] = None,
+                 dp: Optional[int] = None):
+        """Args:
+          dp: data-parallel device count. None = auto (use every visible
+            device when there is more than one and batch_size divides
+            evenly); 0 or 1 = single-device; k>1 = exactly k devices
+            (raises if batch_size % k != 0). The reference has no
+            distributed mode at all (SURVEY.md §2.10) — this subsystem is
+            new, built on jax.sharding.Mesh + shard_map (parallel/mesh.py).
+        """
         self.exp_settings = exp_settings
         self.data_dir = data_dir
         self.model_dir = model_dir
@@ -58,7 +67,29 @@ class Experiment:
         self.data_format = data_format
         self.seed = seed
         self.rank_cut = rank_cut
+        self.dp = dp
+        self.mesh = None
         self._compiled = {}
+
+    def _resolve_mesh(self):
+        """Decide the DP mesh per the `dp` policy (see __init__)."""
+        if self.dp in (0, 1):
+            return None
+        n_avail = jax.device_count()
+        if self.dp is None:
+            n = n_avail
+            if n <= 1 or self.batch_size % n != 0:
+                return None
+        else:
+            n = int(self.dp)
+            if n > n_avail:
+                raise ValueError(
+                    f"--dp={n} but only {n_avail} devices visible")
+            if self.batch_size % n != 0:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by dp={n}")
+        from ultra_pytorch_tpu.parallel import make_mesh
+        return make_mesh(n)
 
     # -- data -------------------------------------------------------------
     def load_split(self, prefix: str) -> data_lib.RankingDataset:
@@ -71,8 +102,20 @@ class Experiment:
         """Read data, resolve max_candidate_num / selection_bias_cutoff
         (ref ``main.py:99,110-116``), pad, build components."""
         self.datasets = {s: self.load_split(s) for s in splits}
+        # max_candidate_num is computed from the FULL data (each split's
+        # rank_list_size is set at load time) BEFORE any per-host stripe,
+        # so every host compiles identical shapes.
         max_candidate_num = max(
             d.rank_list_size for d in self.datasets.values())
+        self.mesh = self._resolve_mesh()
+        if jax.process_count() > 1 and "train" in self.datasets:
+            # Multi-host DP: each host keeps a stripe of the training
+            # queries + only the feature rows they reference (valid/test
+            # stay replicated so summary merging needs no cross-host
+            # reduction).
+            from ultra_pytorch_tpu.parallel import shard_queries_for_host
+            self.datasets["train"] = shard_queries_for_host(
+                self.datasets["train"])
         self.exp_settings["max_candidate_num"] = max_candidate_num
         cutoff = self.exp_settings.get("selection_bias_cutoff",
                                        max_candidate_num)
@@ -89,6 +132,10 @@ class Experiment:
 
         self.device_data = {s: d.to_device() for s, d in
                             self.datasets.items()}
+        if self.mesh is not None:
+            from ultra_pytorch_tpu.parallel import shard_dataset
+            self.device_data = {s: shard_dataset(d, self.mesh)
+                                for s, d in self.device_data.items()}
 
         self.feeds = {}
         for split, role in (("train", "train"), ("valid", "valid"),
@@ -111,7 +158,16 @@ class Experiment:
             iter(self.datasets.values()))
         self.state = self.algorithm.init_state(
             k_init, train_like.feature_size)
+        self._place_state()
         return self.state
+
+    def _place_state(self):
+        """Replicate state over the DP mesh (no-op single-device)."""
+        if self.mesh is not None:
+            from ultra_pytorch_tpu.parallel import replicated_sharding
+            rep = replicated_sharding(self.mesh)
+            self.state = jax.device_put(self.state, rep)
+            self._data_rng = jax.device_put(self._data_rng, rep)
 
     @property
     def ckpt_path(self) -> str:
@@ -125,8 +181,12 @@ class Experiment:
     def restore(self) -> bool:
         if not ckpt_lib.checkpoint_exists(self.ckpt_path):
             return False
+        if not hasattr(self, "state"):
+            self.init_state()
         (self.state, self._data_rng), _ = ckpt_lib.load_checkpoint(
-            self.ckpt_path)
+            self.ckpt_path, template=(self.state, self._data_rng))
+        self._data_rng = jax.numpy.asarray(self._data_rng)
+        self._place_state()
         return True
 
     # -- train ------------------------------------------------------------
@@ -134,14 +194,18 @@ class Experiment:
         if "train_step" not in self._compiled:
             feed = self.feeds["train"]
             alg = self.algorithm
+            if self.mesh is not None:
+                from ultra_pytorch_tpu.parallel import make_dp_train_step
+                self._compiled["train_step"] = make_dp_train_step(
+                    alg, feed, self.mesh)
+            else:
+                def fused(state, rng):
+                    k_batch, k_train = jax.random.split(rng)
+                    batch = feed.train_batch(k_batch, state)
+                    return alg.train_step(state, batch, k_train)
 
-            def fused(state, rng):
-                k_batch, k_train = jax.random.split(rng)
-                batch = feed.train_batch(k_batch, state)
-                return alg.train_step(state, batch, k_train)
-
-            self._compiled["train_step"] = jax.jit(fused,
-                                                   donate_argnums=(0,))
+                self._compiled["train_step"] = jax.jit(fused,
+                                                       donate_argnums=(0,))
         return self._compiled["train_step"]
 
     def _train_multi_fn(self, window: int):
@@ -153,6 +217,17 @@ class Experiment:
         if key not in self._compiled:
             feed = self.feeds["train"]
             alg = self.algorithm
+            if self.mesh is not None:
+                from ultra_pytorch_tpu.parallel import make_dp_train_step
+                dp = make_dp_train_step(alg, feed, self.mesh, window=window)
+
+                def dp_multi(state, rng):
+                    rng, sub = jax.random.split(rng)
+                    new_state, metrics = dp(state, sub)
+                    return new_state, rng, metrics
+
+                self._compiled[key] = dp_multi
+                return self._compiled[key]
 
             def body(carry, _):
                 state, rng = carry
@@ -171,12 +246,36 @@ class Experiment:
         return self._compiled[key]
 
     def train_steps(self, num_steps: int, fuse_window: bool = True):
-        """Run `num_steps` steps; returns mean metrics of the window."""
+        """Run `num_steps` steps; returns mean metrics of the window.
+
+        Only ONE scan-window length is ever compiled: the first fused call's
+        window becomes canonical, and later calls are decomposed into
+        canonical-size chunks plus single steps for the tail. Without this
+        the final partial window of a run (max_train_iteration %
+        steps_per_checkpoint != 0) would compile a second multi-step
+        program — compilation costs minutes on this deployment.
+        """
         if fuse_window and num_steps > 1:
-            multi = self._train_multi_fn(num_steps)
-            self.state, self._data_rng, metrics = multi(
-                self.state, self._data_rng)
-            return {k: float(v) for k, v in metrics.items()}
+            if getattr(self, "_canonical_window", None) is None:
+                self._canonical_window = num_steps
+            window = self._canonical_window
+            totals: Dict[str, float] = {}
+            done = 0
+            while num_steps - done >= window and window > 1:
+                multi = self._train_multi_fn(window)
+                self.state, self._data_rng, metrics = multi(
+                    self.state, self._data_rng)
+                for k, v in metrics.items():
+                    totals[k] = totals.get(k, 0.0) + float(v) * window
+                done += window
+            if num_steps - done:
+                tail = self._run_single_steps(num_steps - done)
+                for k, v in tail.items():
+                    totals[k] = totals.get(k, 0.0) + v * (num_steps - done)
+            return {k: v / num_steps for k, v in totals.items()}
+        return self._run_single_steps(num_steps)
+
+    def _run_single_steps(self, num_steps: int):
         step_fn = self._train_step_fn()
         agg = None
         for _ in range(num_steps):

@@ -7,38 +7,89 @@ accumulators and RNG are all lost on resume (SURVEY.md §5). Here the entire
 ``TrainState`` pytree (params + optimizer states + algorithm aux + step) and
 the data RNG key are serialized, so resume is bit-exact.
 
-Format: a single ``.npz`` with flattened leaves plus a pickled treedef
-sidecar — no external checkpoint service needed, works on any filesystem.
+Format: a single ``.npz`` with flattened leaves plus a JSON metadata entry.
+The tree STRUCTURE is not serialized at all — the loader re-derives it from
+a caller-provided template pytree (a freshly initialized TrainState), which
+is version-stable and involves no pickle / arbitrary code execution. Under
+multi-host data parallelism only process 0 writes (state is replicated).
 """
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
 
+_META_KEY = "__ultra_meta__"
+
 
 def save_checkpoint(path: str, tree: Any, metadata: dict = None) -> None:
+    """Atomically write `tree`'s leaves + metadata to ``<path>.npz``.
+
+    No-op on non-zero processes: under multi-host DP every host holds the
+    same replicated state, so only process 0 writes (all hosts would
+    otherwise race on the same file).
+    """
+    if jax.process_index() != 0:
+        return
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez(path + ".npz", **arrays)
-    with open(path + ".tree", "wb") as fout:
-        pickle.dump({"treedef": treedef, "n": len(leaves),
-                     "metadata": metadata or {}}, fout)
+    arrays[_META_KEY] = np.array(json.dumps({
+        "n": len(leaves),
+        "metadata": metadata or {},
+        # Human-readable structure fingerprint for mismatch diagnostics only.
+        "structure": str(treedef),
+    }))
+    tmp = path + ".npz.tmp.npz"  # np.savez appends .npz if missing
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path + ".npz")
 
 
-def load_checkpoint(path: str) -> Tuple[Any, dict]:
+def load_checkpoint(path: str, template: Any = None) -> Tuple[Any, dict]:
+    """Load a checkpoint written by :func:`save_checkpoint`.
+
+    Args:
+      template: a pytree with the SAME structure as the saved one (e.g. the
+        output of ``algorithm.init_state`` plus the data rng) — its treedef
+        is used to unflatten the stored leaves. Required for checkpoints in
+        the current format; legacy checkpoints with a pickled ``.tree``
+        sidecar are still readable without one.
+    """
+    npz_path = path + ".npz"
+    data = np.load(npz_path)
+    if _META_KEY in data.files:
+        meta = json.loads(str(data[_META_KEY]))
+        n = meta["n"]
+        leaves = [data[f"leaf_{i}"] for i in range(n)]
+        if template is None:
+            raise ValueError(
+                f"checkpoint {npz_path} needs a template pytree to restore "
+                "(pass the freshly initialized train state)")
+        tpl_leaves, treedef = jax.tree_util.tree_flatten(template)
+        if len(tpl_leaves) != n:
+            raise ValueError(
+                f"checkpoint {npz_path} has {n} leaves but the template has "
+                f"{len(tpl_leaves)} — saved structure: {meta['structure']}")
+        for i, (saved, tpl) in enumerate(zip(leaves, tpl_leaves)):
+            tpl_shape = tuple(np.shape(tpl))
+            if tuple(saved.shape) != tpl_shape:
+                raise ValueError(
+                    f"checkpoint leaf_{i} shape {tuple(saved.shape)} != "
+                    f"template shape {tpl_shape}")
+        return (jax.tree_util.tree_unflatten(treedef, leaves),
+                meta.get("metadata", {}))
+    # Legacy format (round-1): pickled treedef sidecar.
+    import pickle
     with open(path + ".tree", "rb") as fin:
-        meta = pickle.load(fin)
-    data = np.load(path + ".npz")
-    leaves = [data[f"leaf_{i}"] for i in range(meta["n"])]
-    tree = jax.tree_util.tree_unflatten(meta["treedef"], leaves)
-    return tree, meta.get("metadata", {})
+        legacy = pickle.load(fin)
+    leaves = [data[f"leaf_{i}"] for i in range(legacy["n"])]
+    tree = jax.tree_util.tree_unflatten(legacy["treedef"], leaves)
+    return tree, legacy.get("metadata", {})
 
 
 def checkpoint_exists(path: str) -> bool:
-    return os.path.isfile(path + ".npz") and os.path.isfile(path + ".tree")
+    return os.path.isfile(path + ".npz")
