@@ -11,6 +11,7 @@ bench:
 
 docs:
 	python tools/gen_parameter_readmes.py
+	python tools/gen_docs.py
 
 clean:
 	$(MAKE) -C native clean

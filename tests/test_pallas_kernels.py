@@ -102,3 +102,59 @@ def test_fused_softmax_loss_no_weights_no_mask():
     ref = losses.softmax_loss(s, y)
     fused = fused_softmax_loss(s, y, interpret=True)
     np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+
+def test_fused_loss_selectable_in_algorithm(toy_data_dir, tmp_path):
+    """loss_func=fused_softmax_loss trains DLA end-to-end (wiring test;
+    interpret mode on CPU)."""
+    from ultra_pytorch_tpu.run.experiment import Experiment
+
+    settings = {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams": "",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[16]",
+        "learning_algorithm": "DLA",
+        "learning_algorithm_hparams": "loss_func=fused_softmax_loss",
+        "metrics": ["ndcg"],
+        "metrics_topn": [5],
+        "objective_metric": "ndcg_5",
+        "selection_bias_cutoff": 5,
+    }
+    exp = Experiment(settings, toy_data_dir, str(tmp_path / "m"),
+                     batch_size=8, seed=0, dp="off")
+    exp.setup(splits=("train", "valid"))
+    exp.init_state()
+    metrics = exp.train_steps(4)
+    assert metrics["loss"] == metrics["loss"], "loss is NaN"
+
+
+def test_use_pallas_click_hparam_falls_back_off_tpu(toy_data_dir):
+    """use_pallas_click=true parses and produces valid clicks on CPU via
+    the jnp fallback (the hardware-PRNG kernel needs a real TPU)."""
+    import jax
+
+    from ultra_pytorch_tpu.data.dataset import read_data
+    from ultra_pytorch_tpu.input_layer.feeds import ClickSimulationFeed
+    from ultra_pytorch_tpu.run.experiment import create_algorithm
+
+    ds = read_data(toy_data_dir, "train")
+    settings = {
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[8]",
+        "learning_algorithm": "NaiveAlgorithm",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg"], "metrics_topn": [5],
+        "max_candidate_num": ds.rank_list_size,
+        "selection_bias_cutoff": 5,
+    }
+    alg = create_algorithm(settings, ds.feature_size, ds.max_label)
+    feed = ClickSimulationFeed(alg, 4, "use_pallas_click=true",
+                               ds.to_device())
+    state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
+    batch = feed.train_batch(jax.random.PRNGKey(1), state)
+    labels = batch["labels"]
+    assert labels.shape[0] == 4
+    assert ((labels == 0) | (labels == 1)).all()

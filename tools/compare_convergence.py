@@ -1,15 +1,20 @@
 """Convergence comparison: reference ULTRA_pytorch vs this framework.
 
-Trains the reference's DLA (torch, CPU, with the same one-line cast shim as
-tools/bench_reference.py) and our DLA (TPU or CPU) on the SAME synthetic
-ULTRA-format dataset with the benchmark protocol, evaluating valid-split
-nDCG@k with EACH side's own metric stack (the stacks themselves are parity-
-tested in tests/test_metrics.py). Results land in BASELINE.md.
+Trains the reference's algorithm (torch, CPU, with the same one-line cast
+shim as tools/bench_reference.py) and ours (TPU or CPU) on the SAME
+synthetic ULTRA-format dataset with the benchmark protocol, evaluating
+valid-split nDCG@k with EACH side's own metric stack (the stacks themselves
+are parity-tested in tests/test_metrics.py). Results land in BASELINE.md.
 
 Usage:
   python tools/make_toy_data.py /tmp/conv_data --queries 400
-  python tools/compare_convergence.py ref /tmp/conv_data <steps>
-  python tools/compare_convergence.py ours /tmp/conv_data <steps>
+  python tools/compare_convergence.py ref /tmp/conv_data <steps> [ALGO]
+  python tools/compare_convergence.py ours /tmp/conv_data <steps> [ALGO]
+
+ALGO is one of DLA (default), IPWrank, RegressionEM, PairDebias, PDGD,
+DBGD — the five VERDICT-r1 parity targets use the reference's offline
+experiment settings (example/offline_setting/*_exp_settings.json:
+ClickSimulationFeed + DNN [512,256,128] + default algorithm hparams).
 """
 
 from __future__ import annotations
@@ -21,8 +26,18 @@ import os
 import sys
 import time
 
+# Our registry name -> reference class name (ultra.learning_algorithm.*).
+ALGOS = {
+    "DLA": "DLA",
+    "IPWrank": "IPWrank",
+    "RegressionEM": "RegressionEM",
+    "PairDebias": "PairDebias",
+    "PDGD": "PDGD",
+    "DBGD": "DBGD",
+}
 
-def run_reference(data_dir, steps, ref_path="/root/reference"):
+
+def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="refconv_")
@@ -31,6 +46,8 @@ def run_reference(data_dir, steps, ref_path="/root/reference"):
                os.path.join(tmp, "example"))
     sys.path.insert(0, ref_path)
 
+    import random
+
     import numpy as np
     import torch
 
@@ -38,7 +55,11 @@ def run_reference(data_dir, steps, ref_path="/root/reference"):
     from ultra.input_layer.click_simulation_feed import ClickSimulationFeed
     from ultra.input_layer.direct_label_feed import DirectLabelFeed
     from ultra.learning_algorithm.base_algorithm import BaseAlgorithm
-    from ultra.learning_algorithm.dla import DLA
+    from ultra.utils.sys_tools import find_class
+
+    random.seed(0)
+    np.random.seed(0)
+    torch.manual_seed(0)
 
     def _patched(self, input_feed, list_size):
         self.labels = []
@@ -56,6 +77,22 @@ def run_reference(data_dir, steps, ref_path="/root/reference"):
 
     BaseAlgorithm.create_input_feed = _patched
 
+    # Second current-torch shim: the reference calls
+    # nn.utils.clip_grad_value_ on LABEL tensors (which never have grads —
+    # a semantic no-op, e.g. ipw_rank.py:164, regression_EM.py:181);
+    # torch>=2 raises on the resulting empty grad list instead of ignoring
+    # it. Skip the call when nothing has a grad; unchanged otherwise.
+    _orig_clip_value = torch.nn.utils.clip_grad_value_
+
+    def _safe_clip_value(parameters, clip_value, **kw):
+        params = list(parameters) if not torch.is_tensor(parameters) \
+            else [parameters]
+        if not any(p.grad is not None for p in params):
+            return
+        return _orig_clip_value(params, clip_value, **kw)
+
+    torch.nn.utils.clip_grad_value_ = _safe_clip_value
+
     train = data_utils.read_data(data_dir + "/", "train", None)
     valid = data_utils.read_data(data_dir + "/", "valid", None)
     max_candidate = max(train.rank_list_size, valid.rank_list_size)
@@ -64,7 +101,7 @@ def run_reference(data_dir, steps, ref_path="/root/reference"):
         "train_input_hparams": "",
         "ranking_model": "ultra.ranking_model.DNN",
         "ranking_model_hparams": "hidden_layer_sizes=[512, 256, 128]",
-        "learning_algorithm": "ultra.learning_algorithm.DLA",
+        "learning_algorithm": f"ultra.learning_algorithm.{ALGOS[algo]}",
         "learning_algorithm_hparams": "",
         "metrics": ["ndcg", "mrr"],
         "metrics_topn": [3, 5, 10],
@@ -74,7 +111,9 @@ def run_reference(data_dir, steps, ref_path="/root/reference"):
     train.pad(max_candidate)
     valid.pad(max_candidate)
 
-    model = DLA(train, exp_settings)
+    algo_cls = find_class(exp_settings["learning_algorithm"])
+    with contextlib.redirect_stdout(io.StringIO()):
+        model = algo_cls(train, exp_settings)
     feed = ClickSimulationFeed(model, 256, "")
     vfeed = DirectLabelFeed(model, 256, "")
 
@@ -95,6 +134,12 @@ def run_reference(data_dir, steps, ref_path="/root/reference"):
     sink = io.StringIO()
     for step in range(steps):
         input_feed, _ = feed.get_batch(train, check_validation=True)
+        # Some algorithms (e.g. pairwise_debias.py:127) torch.as_tensor the
+        # float32 docid arrays with dtype=int64 themselves, which current
+        # torch rejects; pre-cast (values are integral doc indices).
+        for k in list(input_feed):
+            if k.startswith("docid_input"):
+                input_feed[k] = np.asarray(input_feed[k], dtype=np.int64)
         with contextlib.redirect_stdout(sink):
             model.train(input_feed)
         if (step + 1) % max(steps // 5, 1) == 0:
@@ -107,11 +152,19 @@ def run_reference(data_dir, steps, ref_path="/root/reference"):
     print(f"[ref] total {time.time() - t0:.1f}s")
 
 
-def run_ours(data_dir, steps):
+def run_ours(data_dir, steps, algo="DLA"):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
     from ultra_pytorch_tpu.run.experiment import Experiment
 
+    # The reference's defaults use ./example/... relative paths; pin them
+    # to this repo's bundled copies so cwd doesn't matter.
+    algo_hparams = {
+        "IPWrank": (f"propensity_estimator_json={repo}/example/"
+                    "PropensityEstimator/randomized_pbm_0.1_1.0_4_1.0.json"),
+        "DBGD": (f"click_model_json={repo}/example/ClickModel/"
+                 "pbm_0.1_1.0_4_1.0.json"),
+    }.get(algo, "")
     settings = {
         "train_input_feed": "ClickSimulationFeed",
         "train_input_hparams":
@@ -119,9 +172,12 @@ def run_ours(data_dir, steps):
         "valid_input_feed": "DirectLabelFeed",
         "valid_input_hparams": "",
         "ranking_model": "DNN",
-        "ranking_model_hparams": "hidden_layer_sizes=[512, 256, 128]",
-        "learning_algorithm": "DLA",
-        "learning_algorithm_hparams": "",
+        # ULTRA_CONV_RANKER_EXTRA=",compute_dtype=bfloat16" measures the
+        # bf16 convergence delta on the same protocol (BASELINE.md).
+        "ranking_model_hparams": "hidden_layer_sizes=[512, 256, 128]"
+            + os.environ.get("ULTRA_CONV_RANKER_EXTRA", ""),
+        "learning_algorithm": algo,
+        "learning_algorithm_hparams": algo_hparams,
         "metrics": ["ndcg", "mrr"],
         "metrics_topn": [3, 5, 10],
         "objective_metric": "ndcg_10",
@@ -155,7 +211,8 @@ def run_ours(data_dir, steps):
 
 if __name__ == "__main__":
     which, data_dir, steps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    algo = sys.argv[4] if len(sys.argv) > 4 else "DLA"
     if which == "ref":
-        run_reference(os.path.abspath(data_dir), steps)
+        run_reference(os.path.abspath(data_dir), steps, algo)
     else:
-        run_ours(os.path.abspath(data_dir), steps)
+        run_ours(os.path.abspath(data_dir), steps, algo)

@@ -145,6 +145,10 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
             "oracle_mode": False,
             "dynamic_bias_eta_change": 0.0,
             "dynamic_bias_step_interval": 1000,
+            # Sample PBM clicks with the on-chip Pallas PRNG kernel
+            # (ops/pallas/click_sim.py); PBM only, see BASELINE.md for the
+            # measured on/off table.
+            "use_pallas_click": False,
         }
 
     def __init__(self, *args, check_validation: bool = True, **kwargs):
@@ -163,6 +167,15 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
         mask = self.dataset.mask[qs][:, :L]
         if self.hparams.oracle_mode:
             clicks = labels * mask
+        elif (self.hparams.get("use_pallas_click")
+              and model.model_name == "position_biased_model"
+              and jax.default_backend() == "tpu"):
+            # The kernel draws with the TPU hardware PRNG
+            # (pltpu.prng_random_bits), which has no CPU interpret
+            # lowering — off-TPU the jnp sampler below is the fallback.
+            from ultra_pytorch_tpu.ops.pallas.click_sim import (
+                pallas_sample_pbm_clicks)
+            clicks = pallas_sample_pbm_clicks(model, rng, labels, mask)
         else:
             clicks, _, _ = cm.sample_clicks(model, rng, labels, mask)
         return clicks, (clicks.sum(axis=1) > 0)

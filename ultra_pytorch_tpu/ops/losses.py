@@ -117,8 +117,17 @@ def l2_loss(tree) -> jax.Array:
     return sum(jnp.sum(x ** 2) for x in leaves) / 2.0
 
 
+def _fused_softmax_loss(output, labels, propensity_weights=None, mask=None):
+    """softmax_loss via the fused Pallas kernel (ops/pallas/listwise_loss.py)
+    — selectable with ``loss_func=fused_softmax_loss``; falls back to
+    interpret mode off-TPU."""
+    from ultra_pytorch_tpu.ops.pallas.listwise_loss import fused_softmax_loss
+    return fused_softmax_loss(output, labels, propensity_weights, mask)
+
+
 LOSS_FUNCTIONS = {
     "softmax_loss": softmax_loss,
     "sigmoid_loss": sigmoid_loss_on_list,
     "pairwise_loss": pairwise_loss_on_list,
+    "fused_softmax_loss": _fused_softmax_loss,
 }

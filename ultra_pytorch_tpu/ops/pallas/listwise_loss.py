@@ -49,7 +49,8 @@ def _fwd_kernel(s_ref, y_ref, w_ref, m_ref, out_ref):
     ce = jnp.sum(-label_dis * log_softmax, axis=1, keepdims=True)
     total = jnp.sum(wl)
     loss = jnp.sum(ce * denom) / jnp.where(total > 0, total, 1.0)
-    out_ref[0, 0] = loss
+    # Mosaic can't store scalars to VMEM; write the (1, 1) block whole.
+    out_ref[...] = loss.reshape(1, 1)
 
 
 def _bwd_kernel(s_ref, y_ref, w_ref, m_ref, g_ref, ds_ref):
@@ -57,24 +58,18 @@ def _bwd_kernel(s_ref, y_ref, w_ref, m_ref, g_ref, ds_ref):
     total = jnp.sum(wl)
     softmax = jnp.exp(log_softmax)
     scale = denom / jnp.where(total > 0, total, 1.0)
-    ds_ref[:] = (g_ref[0, 0] * scale * (softmax - label_dis) * m_ref[:])
-
-
-def _call(kernel, out_shape, *args, interpret):
-    specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args]
-    return pl.pallas_call(
-        kernel,
-        in_specs=specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*args)
+    ds_ref[:] = (g_ref[0] * scale * (softmax - label_dis) * m_ref[:])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _fused_loss(s, y, w, m, interpret):
-    out = _call(_fwd_kernel, jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                s, y, w, m, interpret=interpret)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )(s, y, w, m)
     return out[0, 0]
 
 
@@ -84,9 +79,15 @@ def _fused_fwd(s, y, w, m, interpret):
 
 def _fused_bwd(interpret, res, g):
     s, y, w, m = res
-    g2 = jnp.full((1, 1), g, dtype=jnp.float32)
-    ds = _call(_bwd_kernel, jax.ShapeDtypeStruct(s.shape, jnp.float32),
-               s, y, w, m, g2, interpret=interpret)
+    g2 = jnp.full((1,), g, dtype=jnp.float32)
+    ds = pl.pallas_call(
+        _bwd_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],  # incoming scalar cotangent
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(s.shape, jnp.float32),
+        interpret=interpret,
+    )(s, y, w, m, g2)
     return ds, None, None, None
 
 

@@ -67,6 +67,9 @@ class Experiment:
         self.data_format = data_format
         self.seed = seed
         self.rank_cut = rank_cut
+        # Accept main.py's string policy values too ("auto"/"off"/"N").
+        if isinstance(dp, str):
+            dp = None if dp == "auto" else 0 if dp == "off" else int(dp)
         self.dp = dp
         self.mesh = None
         self._compiled = {}
