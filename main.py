@@ -36,6 +36,10 @@ if os.environ.get("ULTRA_PLATFORM"):
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="ULTRA-TPU")
     p.add_argument("--data_dir", type=str, default="./tests/data/")
+    p.add_argument("--train_data_prefix", type=str, default="train",
+                   help="file prefix of the training split in data_dir")
+    p.add_argument("--valid_data_prefix", type=str, default="valid")
+    p.add_argument("--test_data_prefix", type=str, default="test")
     p.add_argument("--model_dir", type=str, default="./tmp_model/")
     p.add_argument("--output_dir", type=str, default="./tmp_output/")
     p.add_argument("--setting_file", type=str, default="./example/offline_setting/dla_exp_settings.json")
@@ -48,6 +52,9 @@ def parse_args(argv=None):
     p.add_argument("--selection_bias_cutoff", type=int, default=10,
                    help="top-k positions subject to selection bias")
     p.add_argument("--max_train_iteration", type=int, default=10000)
+    p.add_argument("--start_saving_iteration", type=int, default=0,
+                   help="do not save checkpoints before this iteration "
+                        "(ref main.py:51-53)")
     p.add_argument("--start_checkpoint", type=str, default="")
     p.add_argument("--steps_per_checkpoint", type=int, default=50)
     p.add_argument("--test_while_train", action="store_true")
@@ -84,7 +91,10 @@ def build_experiment(args, splits):
         batch_size=args.batch_size, data_format=args.data_format,
         seed=args.seed,
         rank_cut=args.max_list_cutoff if args.max_list_cutoff > 0 else None,
-        dp=dp)
+        dp=dp,
+        split_prefixes={"train": args.train_data_prefix,
+                        "valid": args.valid_data_prefix,
+                        "test": args.test_data_prefix})
     exp.setup(splits=splits)
     if exp.mesh is not None:
         print(f"Data parallelism: {exp.mesh.devices.size}-device mesh "
@@ -132,7 +142,8 @@ def train(args):
             logger.log("test", step, test_summary)
             print("  test: " + ", ".join(
                 f"{k}={v:.5f}" for k, v in sorted(test_summary.items())))
-        if obj is not None and (best is None or obj > best):
+        if (obj is not None and (best is None or obj > best)
+                and step >= args.start_saving_iteration):
             best = obj
             exp.save({"step": step, objective: obj})
             print(f"  saved checkpoint ({objective}={obj:.5f})")

@@ -79,3 +79,43 @@ def test_cli_train_then_test_only(toy_data_dir, click_model_json, tmp_path):
     # TREC format: qid Q0 did rank score model
     first = ranklist.read_text().splitlines()[0].split()
     assert len(first) == 6 and first[1] == "Q0"
+
+
+def test_cli_data_prefix_and_start_saving(toy_data_dir, click_model_json,
+                                          tmp_path):
+    """--*_data_prefix remap splits; --start_saving_iteration suppresses
+    early checkpoints (ref main.py:26-30,51-53)."""
+    settings = {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams": f"click_model_json={click_model_json}",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "Linear",
+        "ranking_model_hparams": "",
+        "learning_algorithm": "NaiveAlgorithm",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg"],
+        "metrics_topn": [5],
+        "objective_metric": "ndcg_5",
+        "selection_bias_cutoff": 5,
+    }
+    setting_file = tmp_path / "settings.json"
+    setting_file.write_text(json.dumps(settings))
+    model_dir = tmp_path / "model"
+
+    stdout = _run([
+        "--data_dir", toy_data_dir,
+        "--setting_file", str(setting_file),
+        "--model_dir", str(model_dir),
+        "--batch_size", "8",
+        "--max_train_iteration", "8",
+        "--steps_per_checkpoint", "4",
+        # validation uses the TEST split via prefix remap
+        "--valid_data_prefix", "test",
+        "--start_saving_iteration", "6",
+    ], cwd=str(tmp_path))
+    assert "Training done" in stdout
+    # windows end at steps 4 and 8; only step 8 may save
+    assert "step 4" in stdout and "step 8" in stdout
+    saves = [ln for ln in stdout.splitlines() if "saved checkpoint" in ln]
+    assert len(saves) <= 1

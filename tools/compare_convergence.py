@@ -93,6 +93,23 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
 
     torch.nn.utils.clip_grad_value_ = _safe_clip_value
 
+    # Third shim: the reference's DBGD/MGD/NSGD call
+    # make_ranking_metric_fn('ndcg', rank_list_size) with an INT topn
+    # (dbgd.py:129-131) but _prepare_and_validate_params iterates topn
+    # (metrics.py:249) — DBGD-family training crashes out of the box (the
+    # reference's own pipeline tests never ran; SURVEY.md §4). Wrap int
+    # topn into a one-element list, which preserves the intended value.
+    import ultra.utils as uutils
+
+    _orig_make_metric = uutils.make_ranking_metric_fn
+
+    def _make_metric(metric_key, topn, *a, **kw):
+        if isinstance(topn, int):
+            topn = [topn]
+        return _orig_make_metric(metric_key, topn, *a, **kw)
+
+    uutils.make_ranking_metric_fn = _make_metric
+
     train = data_utils.read_data(data_dir + "/", "train", None)
     valid = data_utils.read_data(data_dir + "/", "valid", None)
     max_candidate = max(train.rank_list_size, valid.rank_list_size)

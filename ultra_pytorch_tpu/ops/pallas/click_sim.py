@@ -26,8 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(seed_ref, probs_ref, mask_ref, out_ref):
     pltpu.prng_seed(seed_ref[0])
     probs = probs_ref[:]
-    # uniform in [0, 1) from 24 high bits (float32-exact)
-    bits = pltpu.prng_random_bits(probs.shape)
+    # uniform in [0, 1) from 24 high bits (float32-exact). The raw bits
+    # come back as SIGNED int32 — bitcast to uint32 first, or the shift
+    # is arithmetic and half the draws go negative (always "click").
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(probs.shape), jnp.uint32)
     u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
     out_ref[:] = (u < probs).astype(jnp.float32) * mask_ref[:]
 

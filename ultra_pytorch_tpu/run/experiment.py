@@ -51,8 +51,12 @@ class Experiment:
                  model_dir: str, batch_size: int = 256,
                  data_format: str = "ULTRA", seed: int = 0,
                  rank_cut: Optional[int] = None,
-                 dp: Optional[int] = None):
+                 dp: Optional[int] = None,
+                 split_prefixes: Optional[Dict[str, str]] = None):
         """Args:
+          split_prefixes: optional {split: file prefix} overrides (the
+            reference's --train/valid/test_data_prefix flags,
+            ref ``main.py:26-30``); default is the split name itself.
           dp: data-parallel device count. None = auto (use every visible
             device when there is more than one and batch_size divides
             evenly); 0 or 1 = single-device; k>1 = exactly k devices
@@ -67,6 +71,7 @@ class Experiment:
         self.data_format = data_format
         self.seed = seed
         self.rank_cut = rank_cut
+        self.split_prefixes = split_prefixes or {}
         # Accept main.py's string policy values too ("auto"/"off"/"N").
         if isinstance(dp, str):
             dp = None if dp == "auto" else 0 if dp == "off" else int(dp)
@@ -95,9 +100,10 @@ class Experiment:
         return make_mesh(n)
 
     # -- data -------------------------------------------------------------
-    def load_split(self, prefix: str) -> data_lib.RankingDataset:
+    def load_split(self, split: str) -> data_lib.RankingDataset:
         click_model_dir = (self.exp_settings.get("click_model_dir")
                            if self.data_format == "ULTRE" else None)
+        prefix = self.split_prefixes.get(split, split)
         return data_lib.read_data(self.data_dir, prefix, self.rank_cut,
                                   click_model_dir)
 
