@@ -272,8 +272,8 @@ def part3_e2e(steps):
         qps = _dla_qps(steps, r, a, f)
         results[name] = qps
         base = results["all_off"]
-        print(f"  {name:14s} {qps:12.0f} q/s  ({qps / base:+.1%} vs all_off)"
-              .replace("+100.0%", "baseline"), flush=True)
+        print(f"  {name:14s} {qps:12.0f} q/s  "
+              f"({qps / base - 1:+.1%} vs all_off)", flush=True)
     print(json.dumps({k: round(v, 1) for k, v in results.items()}),
           flush=True)
     return results

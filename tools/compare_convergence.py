@@ -131,6 +131,11 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
     algo_cls = find_class(exp_settings["learning_algorithm"])
     with contextlib.redirect_stdout(io.StringIO()):
         model = algo_cls(train, exp_settings)
+    # Fourth shim: the reference DBGD's default Stochastic-interleave path
+    # reads self.hparams.tau (dbgd.py:268) but never declares it (:46-55)
+    # — out-of-the-box DBGD crashes. Declare the conventional 1.0.
+    if not hasattr(model.hparams, "tau"):
+        model.hparams.add_hparam("tau", 1.0)
     feed = ClickSimulationFeed(model, 256, "")
     vfeed = DirectLabelFeed(model, 256, "")
 

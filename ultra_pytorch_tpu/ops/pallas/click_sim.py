@@ -31,7 +31,9 @@ def _kernel(seed_ref, probs_ref, mask_ref, out_ref):
     # is arithmetic and half the draws go negative (always "click").
     bits = jax.lax.bitcast_convert_type(
         pltpu.prng_random_bits(probs.shape), jnp.uint32)
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32.
+    hi = jax.lax.bitcast_convert_type(bits >> 8, jnp.int32)
+    u = hi.astype(jnp.float32) * (1.0 / (1 << 24))
     out_ref[:] = (u < probs).astype(jnp.float32) * mask_ref[:]
 
 
