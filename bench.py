@@ -43,6 +43,13 @@ BENCH_STEPS = 400
 def main():
     import jax
 
+    # TPU hardware PRNG (XLA RngBitGenerator) instead of threefry: the
+    # counter-based threefry keygen/uniforms cost ~80us of the ~310us step
+    # at these shapes; rbg is +25% end-to-end (tools/bench_exp.py,
+    # BASELINE.md). Statistically sound; streams are not bit-stable across
+    # compiler versions, which a throughput benchmark doesn't need.
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from __graft_entry__ import _exp_settings, _make_synthetic
     from ultra_pytorch_tpu.input_layer.feeds import ClickSimulationFeed
     from ultra_pytorch_tpu.run.experiment import create_algorithm
@@ -63,19 +70,21 @@ def main():
         feed = ClickSimulationFeed(alg, BATCH,
                                    f"click_model_json={cm_path}", dev)
 
-        CHUNK = 25  # steps per dispatch (lax.scan window)
-
-        def body(carry, _):
-            state, rng = carry
-            rng, k_batch, k_train = jax.random.split(rng, 3)
-            batch = feed.train_batch(k_batch, state)
-            state, metrics = alg.train_step(state, batch, k_train)
-            return (state, rng), metrics["loss"]
+        CHUNK = 50  # steps per dispatch (lax.scan window; tools/bench_exp.py
+        #             measured 25/50/100 — 50 is the plateau)
 
         # Donating (state, rng) lets XLA update the TrainState in place —
-        # no copy of params/optimizer buffers between dispatches.
+        # no copy of params/optimizer buffers between dispatches. The
+        # dataset rides as an ARGUMENT (pytree), not a closure constant.
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_chunk(state, rng):
+        def run_chunk(state, rng, data):
+            def body(carry, _):
+                state, rng = carry
+                rng, k_batch, k_train = jax.random.split(rng, 3)
+                batch = feed.train_batch(k_batch, state, data)
+                state, metrics = alg.train_step(state, batch, k_train)
+                return (state, rng), metrics["loss"]
+
             (state, rng), losses = jax.lax.scan(
                 body, (state, rng), None, length=CHUNK)
             return state, rng, losses[-1]
@@ -83,12 +92,12 @@ def main():
         state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
         rng = jax.random.PRNGKey(1)
 
-        state, rng, loss = run_chunk(state, rng)  # warmup + compile
+        state, rng, loss = run_chunk(state, rng, dev)  # warmup + compile
         jax.block_until_ready(loss)
 
         t0 = time.perf_counter()
         for _ in range(BENCH_STEPS // CHUNK):
-            state, rng, loss = run_chunk(state, rng)
+            state, rng, loss = run_chunk(state, rng, dev)
         jax.block_until_ready(loss)
         dt = time.perf_counter() - t0
 

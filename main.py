@@ -67,6 +67,13 @@ def parse_args(argv=None):
                    help="TensorBoard/JSONL metric logs (default <model_dir>/logs)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="trace this many steps with jax.profiler at start")
+    p.add_argument("--prng", type=str, default="threefry2x32",
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                   help="JAX PRNG impl. 'rbg' uses the TPU hardware bit "
+                        "generator (+25%% DLA throughput, BASELINE.md) but "
+                        "its streams are not bit-stable across compiler "
+                        "versions; the default keeps runs exactly "
+                        "reproducible")
     return p.parse_args(argv)
 
 
@@ -172,6 +179,8 @@ def test(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.prng != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", args.prng)
     os.makedirs(args.model_dir, exist_ok=True)
     if args.test_only:
         test(args)

@@ -52,7 +52,7 @@ def test_dp_train_step_runs_and_state_replicated(
     rng = jax.random.PRNGKey(1)
     for i in range(3):
         rng, sub = jax.random.split(rng)
-        state, metrics = step(state, sub)
+        state, metrics = step(state, sub, dev)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 3
     # params must be fully replicated (identical across shards)
@@ -108,7 +108,7 @@ def test_dp_grad_sync_equivalence(toy, click_model_json):
 
     # DP step last: donate_argnums invalidates state0's buffers.
     dp_step = make_dp_train_step(alg, feed, mesh)
-    state_dp, _ = dp_step(state0, rng)
+    state_dp, _ = dp_step(state0, rng, dev)
 
     for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
                     jax.tree_util.tree_leaves(params_ref)):
@@ -173,7 +173,7 @@ def test_dp_bandit_family_replica_consistent(algo, toy, click_model_json):
     rng = jax.random.PRNGKey(3)
     for _ in range(2):
         rng, sub = jax.random.split(rng)
-        state, metrics = step(state, sub)
+        state, metrics = step(state, sub, dev)
     assert np.isfinite(float(metrics["loss"]))
     for leaf in jax.tree_util.tree_leaves(state):
         assert _shards_identical(leaf), (

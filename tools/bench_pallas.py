@@ -233,7 +233,7 @@ def _dla_qps(steps, ranker_extra="", algo_extra="", feed_extra=""):
             return (state, rng), metrics["loss"]
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_chunk(state, rng):
+        def run_chunk(state, rng, data):
             (state, rng), l = jax.lax.scan(body, (state, rng), None,
                                            length=CHUNK)
             return state, rng, l[-1]
@@ -241,14 +241,14 @@ def _dla_qps(steps, ranker_extra="", algo_extra="", feed_extra=""):
         state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
         rng = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
-        state, rng, loss = run_chunk(state, rng)
+        state, rng, loss = run_chunk(state, rng, dev)
         jax.block_until_ready(loss)
         print(f"    (compile+warmup {time.perf_counter() - t0:.1f}s, "
               f"loss={float(loss):.4f})", flush=True)
 
         t0 = time.perf_counter()
         for _ in range(steps // CHUNK):
-            state, rng, loss = run_chunk(state, rng)
+            state, rng, loss = run_chunk(state, rng, dev)
         jax.block_until_ready(loss)
         dt = time.perf_counter() - t0
     return steps * BATCH / dt

@@ -65,13 +65,13 @@ def main(window=25, windows=4):
 
             # warmup / compile
             rng, sub = jax.random.split(rng)
-            state, metrics = step(state, sub)
+            state, metrics = step(state, sub, dev)
             jax.block_until_ready(metrics["loss"])
 
             t0 = time.perf_counter()
             for _ in range(windows):
                 rng, sub = jax.random.split(rng)
-                state, metrics = step(state, sub)
+                state, metrics = step(state, sub, dev)
             jax.block_until_ready(metrics["loss"])
             dt = time.perf_counter() - t0
             qps = window * windows * batch / dt

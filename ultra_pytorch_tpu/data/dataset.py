@@ -222,6 +222,26 @@ class DeviceDataset:
         }
 
 
+def _register_device_dataset_pytree():
+    """DeviceDataset is a pytree so jitted programs take it as an ARGUMENT.
+
+    Closing over the arrays instead would embed the whole feature table as
+    a literal constant in the lowered HLO (hundreds of MB at MSLR/Yahoo
+    scale — bloats or outright breaks compilation, and re-keys the
+    compilation cache on every dataset change)."""
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        DeviceDataset,
+        lambda d: ((d.features, d.doc_idx, d.labels, d.mask,
+                    d.initial_scores), d.max_label),
+        lambda max_label, xs: DeviceDataset(*xs, max_label=max_label),
+    )
+
+
+_register_device_dataset_pytree()
+
+
 # -- format loaders -------------------------------------------------------
 
 def _densify(lists: List[List[int]], labels: List[List[float]],

@@ -72,7 +72,12 @@ class BaseInputFeed:
         return data_set
 
     # -- training ---------------------------------------------------------
-    def train_batch(self, rng: jax.Array, state) -> Batch:
+    def train_batch(self, rng: jax.Array, state,
+                    dataset: Optional[DeviceDataset] = None) -> Batch:
+        """Build one training batch. Under jit, pass `dataset` EXPLICITLY
+        (it is a pytree) — relying on the `self.dataset` fallback from
+        inside a traced function closure-captures the arrays and embeds
+        the whole feature table as an HLO constant."""
         raise NotImplementedError
 
     # -- evaluation -------------------------------------------------------
@@ -95,10 +100,11 @@ class DirectLabelFeed(BaseInputFeed):
     def default_hparams(self):
         return {"use_max_candidate_num": True}
 
-    def train_batch(self, rng: jax.Array, state) -> Batch:
-        qs = jax.random.randint(rng, (self.batch_size,), 0,
-                                self.dataset.num_queries)
-        return _take(self.dataset, qs)
+    def train_batch(self, rng: jax.Array, state,
+                    dataset: Optional[DeviceDataset] = None) -> Batch:
+        ds = dataset if dataset is not None else self.dataset
+        qs = jax.random.randint(rng, (self.batch_size,), 0, ds.num_queries)
+        return _take(ds, qs)
 
 
 class _ClickFeedMixin:
@@ -156,15 +162,15 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
         self.check_validation = check_validation
         self._load_click_model()
 
-    def _simulate_clicks(self, model, rng, qs
+    def _simulate_clicks(self, model, rng, qs, ds: DeviceDataset
                          ) -> Tuple[jax.Array, jax.Array]:
         """Clicks for query indices `qs` WITHOUT touching the feature table
         — the [B, L] label/mask gathers are ~100x cheaper than the
         [B, L, F] feature gather, so the resample loop runs on these alone
         and the feature gather happens exactly once per batch."""
         L = self.rank_list_size
-        labels = self.dataset.labels[qs][:, :L]
-        mask = self.dataset.mask[qs][:, :L]
+        labels = ds.labels[qs][:, :L]
+        mask = ds.mask[qs][:, :L]
         if self.hparams.oracle_mode:
             clicks = labels * mask
         elif (self.hparams.get("use_pallas_click")
@@ -180,12 +186,14 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
             clicks, _, _ = cm.sample_clicks(model, rng, labels, mask)
         return clicks, (clicks.sum(axis=1) > 0)
 
-    def train_batch(self, rng: jax.Array, state) -> Batch:
+    def train_batch(self, rng: jax.Array, state,
+                    dataset: Optional[DeviceDataset] = None) -> Batch:
+        ds = dataset if dataset is not None else self.dataset
         model = self._model_at_step(state.step)
-        Q = self.dataset.num_queries
+        Q = ds.num_queries
         k0, rng = jax.random.split(rng)
         qs = jax.random.randint(k0, (self.batch_size,), 0, Q)
-        clicks, valid = self._simulate_clicks(model, rng, qs)
+        clicks, valid = self._simulate_clicks(model, rng, qs, ds)
         if self.check_validation and not self.hparams.oracle_mode:
             rounds = self.RESAMPLE_ROUNDS
 
@@ -193,7 +201,7 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
                 qs, clicks, valid = carry
                 kq, kc = jax.random.split(key)
                 qs2 = jax.random.randint(kq, (self.batch_size,), 0, Q)
-                clicks2, valid2 = self._simulate_clicks(model, kc, qs2)
+                clicks2, valid2 = self._simulate_clicks(model, kc, qs2, ds)
                 take = (~valid) & valid2
                 qs = jnp.where(take, qs2, qs)
                 clicks = jnp.where(take[:, None], clicks2, clicks)
@@ -203,7 +211,7 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
             (qs, clicks, valid), _ = jax.lax.scan(
                 body, (qs, clicks, valid), keys)
 
-        batch = self.dataset.gather(qs, list_size=self.rank_list_size)
+        batch = ds.gather(qs, list_size=self.rank_list_size)
         batch["labels"] = clicks
         if self.check_validation and not self.hparams.oracle_mode:
             # Lists that never clicked are masked out of the loss entirely.
@@ -241,12 +249,13 @@ class _OnlineSimulationFeed(BaseInputFeed, _ClickFeedMixin):
     def _rank(self, rng, scores, mask) -> jax.Array:
         raise NotImplementedError
 
-    def train_batch(self, rng: jax.Array, state) -> Batch:
+    def train_batch(self, rng: jax.Array, state,
+                    dataset: Optional[DeviceDataset] = None) -> Batch:
+        ds = dataset if dataset is not None else self.dataset
         model = self._model_at_step(state.step) if self.click_model else None
         kq, kr, kc = jax.random.split(rng, 3)
-        qs = jax.random.randint(kq, (self.batch_size,), 0,
-                                self.dataset.num_queries)
-        batch = _take(self.dataset, qs)
+        qs = jax.random.randint(kq, (self.batch_size,), 0, ds.num_queries)
+        batch = _take(ds, qs)
 
         # Score with the current ranker (the reference's model.validation
         # upcall, here fused into the same program).

@@ -107,7 +107,9 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
                        window: int = 1):
     """Build a jitted data-parallel fused train step (or scan window).
 
-    Returns step(state, rng) -> (state, metrics); `state` replicated, each
+    Returns step(state, rng, dataset) -> (state, metrics); `state` and the
+    DeviceDataset replicated (the dataset is a jit ARGUMENT, never a
+    closure constant — see data/dataset.py pytree registration), each
     shard processes feed.batch_size // n_shards queries per step. With
     `window > 1` the whole checkpoint window runs as ONE compiled program
     (lax.scan inside the shard_map — same host-dispatch amortization as the
@@ -128,7 +130,7 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
 
     per_shard = feed.batch_size // n
 
-    def sharded_body(state, rng):
+    def sharded_body(state, rng, data):
         idx = jax.lax.axis_index(axis)
         fold = lambda key: jax.random.fold_in(key, idx)
 
@@ -138,7 +140,7 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
             old_bs = feed.batch_size
             feed.batch_size = per_shard
             try:
-                batch = feed.train_batch(fold(k_batch), state)
+                batch = feed.train_batch(fold(k_batch), state, data)
             finally:
                 feed.batch_size = old_bs
 
@@ -172,7 +174,7 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
 
     mapped = shard_map(
         sharded_body, mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False)
 

@@ -208,9 +208,12 @@ class Experiment:
                 self._compiled["train_step"] = make_dp_train_step(
                     alg, feed, self.mesh)
             else:
-                def fused(state, rng):
+                # The dataset is an explicit jit ARGUMENT (DeviceDataset is
+                # a pytree): closing over it would embed the feature table
+                # as an HLO constant (unshippable at MSLR/Yahoo scale).
+                def fused(state, rng, data):
                     k_batch, k_train = jax.random.split(rng)
-                    batch = feed.train_batch(k_batch, state)
+                    batch = feed.train_batch(k_batch, state, data)
                     return alg.train_step(state, batch, k_train)
 
                 self._compiled["train_step"] = jax.jit(fused,
@@ -230,22 +233,24 @@ class Experiment:
                 from ultra_pytorch_tpu.parallel import make_dp_train_step
                 dp = make_dp_train_step(alg, feed, self.mesh, window=window)
 
-                def dp_multi(state, rng):
+                def dp_multi(state, rng, data):
                     rng, sub = jax.random.split(rng)
-                    new_state, metrics = dp(state, sub)
+                    new_state, metrics = dp(state, sub, data)
                     return new_state, rng, metrics
 
                 self._compiled[key] = dp_multi
                 return self._compiled[key]
 
-            def body(carry, _):
-                state, rng = carry
-                rng, k_batch, k_train = jax.random.split(rng, 3)
-                batch = feed.train_batch(k_batch, state)
-                state, metrics = alg.train_step(state, batch, k_train)
-                return (state, rng), metrics
+            def multi(state, rng, data):
+                # `data` is a tracer here, so the scan body referencing it
+                # is a loop-invariant operand, not an embedded constant.
+                def body(carry, _):
+                    state, rng = carry
+                    rng, k_batch, k_train = jax.random.split(rng, 3)
+                    batch = feed.train_batch(k_batch, state, data)
+                    state, metrics = alg.train_step(state, batch, k_train)
+                    return (state, rng), metrics
 
-            def multi(state, rng):
                 (state, rng), metrics = jax.lax.scan(
                     body, (state, rng), None, length=window)
                 return state, rng, jax.tree_util.tree_map(
@@ -273,7 +278,7 @@ class Experiment:
             while num_steps - done >= window and window > 1:
                 multi = self._train_multi_fn(window)
                 self.state, self._data_rng, metrics = multi(
-                    self.state, self._data_rng)
+                    self.state, self._data_rng, self.device_data["train"])
                 for k, v in metrics.items():
                     totals[k] = totals.get(k, 0.0) + float(v) * window
                 done += window
@@ -289,7 +294,8 @@ class Experiment:
         agg = None
         for _ in range(num_steps):
             self._data_rng, sub = jax.random.split(self._data_rng)
-            self.state, metrics = step_fn(self.state, sub)
+            self.state, metrics = step_fn(self.state, sub,
+                                          self.device_data["train"])
             agg = metrics if agg is None else jax.tree_util.tree_map(
                 jnp.add, agg, metrics)
         return {k: float(v) / num_steps for k, v in agg.items()}
