@@ -62,3 +62,31 @@ def test_merge_summary():
     merged = data_lib.merge_summary(
         [{"ndcg_10": 1.0}, {"ndcg_10": 0.0}], [1, 3])
     assert abs(merged["ndcg_10"] - 0.25) < 1e-9
+
+
+def test_device_dataset_is_pytree(toy_data_dir):
+    """DeviceDataset must round-trip through tree_map/jit as an argument —
+    the guard against re-introducing closure-captured (HLO-embedded)
+    feature tables."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultra_pytorch_tpu.data import dataset as data_lib
+
+    ds = data_lib.read_data(toy_data_dir, "train")
+    dev = ds.to_device()
+    dev2 = jax.tree_util.tree_map(lambda x: x, dev)
+    assert type(dev2) is type(dev)
+    assert dev2.max_label == dev.max_label
+    assert dev2.features.shape == dev.features.shape
+
+    @jax.jit
+    def first_labels(d):
+        return d.labels[0]
+
+    out = first_labels(dev)
+    assert out.shape == (dev.list_size,)
+
+    # the jitted program must not embed the arrays as constants
+    txt = jax.jit(first_labels).lower(dev).as_text()
+    assert len(txt) < 200_000, f"HLO unexpectedly large: {len(txt)} bytes"

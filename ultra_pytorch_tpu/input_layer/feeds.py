@@ -9,10 +9,12 @@ DirectLabelFeed), re-architected for TPU:
     control by calling back up into the algorithm
     (``model.validation(input_feed, True)``,
     ref ``stochastic_online_simulation_feed.py:100-113``);
-  * here every feed exposes ``train_batch(rng, state) -> batch`` — a pure
-    jittable function over the device-resident dataset, where ``state`` is
-    the algorithm TrainState (online feeds score with the CURRENT ranker
-    inside the same XLA program; SURVEY.md §3.4's inversion).
+  * here every feed exposes ``train_batch(rng, state, dataset) -> batch``
+    — a pure jittable function over the device-resident dataset (a pytree
+    passed as a jit ARGUMENT, so the feature table is never embedded in
+    the compiled program), where ``state`` is the algorithm TrainState
+    (online feeds score with the CURRENT ranker inside the same XLA
+    program; SURVEY.md §3.4's inversion).
 
 Batch layout: ``{"features": [B, L, F], "labels": [B, L], "mask": [B, L],
 "initial_scores": [B, L]}``; for click feeds ``labels`` are sampled clicks.
