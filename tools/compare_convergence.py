@@ -34,6 +34,11 @@ ALGOS = {
     "PairDebias": "PairDebias",
     "PDGD": "PDGD",
     "DBGD": "DBGD",
+    "MGD": "MGD",
+    "NSGD": "NSGD",
+    "NaiveAlgorithm": "NavieAlgorithm",  # [sic] reference typo
+    "LambdaRank": "LambdaRank",
+    "PRSrank": "PRSrank",
 }
 
 
@@ -129,6 +134,9 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
     valid.pad(max_candidate)
 
     algo_cls = find_class(exp_settings["learning_algorithm"])
+    # MGD.__init__ reads self.is_cuda_avail without ever assigning it
+    # (mgd.py:59) — crashes at construction; provide it as a class default.
+    algo_cls.is_cuda_avail = torch.cuda.is_available()
     with contextlib.redirect_stdout(io.StringIO()):
         model = algo_cls(train, exp_settings)
     # Fourth shim: the reference DBGD's default Stochastic-interleave path
@@ -136,6 +144,41 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
     # — out-of-the-box DBGD crashes. Declare the conventional 1.0.
     if not hasattr(model.hparams, "tau"):
         model.hparams.add_hparam("tau", 1.0)
+    # Sixth shim: MGD/NSGD call click_simulation_winners(input_feed,
+    # output) (mgd.py:142, nsgd.py:167) but DBGD defines it with a third
+    # required interleave_strategy arg (dbgd.py:248) — crashes out of the
+    # box; default to the model's configured strategy.
+    if hasattr(model, "click_simulation_winners"):
+        _orig_csw = model.click_simulation_winners
+
+        def _csw(input_feed, rankers_output, interleave_strategy=None):
+            return _orig_csw(
+                input_feed, rankers_output,
+                interleave_strategy
+                or getattr(model, "interleaving_strategy", "Stochastic"))
+
+        model.click_simulation_winners = _csw
+    # Seventh shim (MGD only): MGD.train slices labels as [list, batch]
+    # (mgd.py:108,130 — the TF1-era layout) but create_input_feed produces
+    # [batch, list] (base_algorithm.py:182-183), so its NDCG call crashes
+    # on any batch_size != list_size. Give train() the layout it was
+    # written for; validation keeps the normal one.
+    if algo == "MGD":
+        _orig_train = model.train
+        _orig_cif = model.create_input_feed
+
+        def _untransposed_cif(input_feed, list_size):
+            _orig_cif(input_feed, list_size)
+            model.labels = model.labels.T.contiguous()
+
+        def _train_shim(input_feed):
+            model.create_input_feed = _untransposed_cif
+            try:
+                return _orig_train(input_feed)
+            finally:
+                model.create_input_feed = _orig_cif
+
+        model.train = _train_shim
     feed = ClickSimulationFeed(model, 256, "")
     vfeed = DirectLabelFeed(model, 256, "")
 
@@ -162,6 +205,10 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
         for k in list(input_feed):
             if k.startswith("docid_input"):
                 input_feed[k] = np.asarray(input_feed[k], dtype=np.int64)
+        # MGD/NSGD read input_feed["winners"] unconditionally (mgd.py:104,
+        # nsgd.py:115) though only the online interleave feeds provide it;
+        # both branches overwrite self.winners before use, so None is safe.
+        input_feed.setdefault("winners", None)
         with contextlib.redirect_stdout(sink):
             model.train(input_feed)
         if (step + 1) % max(steps // 5, 1) == 0:
@@ -181,11 +228,16 @@ def run_ours(data_dir, steps, algo="DLA"):
 
     # The reference's defaults use ./example/... relative paths; pin them
     # to this repo's bundled copies so cwd doesn't matter.
+    est = (f"propensity_estimator_json={repo}/example/"
+           "PropensityEstimator/randomized_pbm_0.1_1.0_4_1.0.json")
+    cmj = (f"click_model_json={repo}/example/ClickModel/"
+           "pbm_0.1_1.0_4_1.0.json")
     algo_hparams = {
-        "IPWrank": (f"propensity_estimator_json={repo}/example/"
-                    "PropensityEstimator/randomized_pbm_0.1_1.0_4_1.0.json"),
-        "DBGD": (f"click_model_json={repo}/example/ClickModel/"
-                 "pbm_0.1_1.0_4_1.0.json"),
+        "IPWrank": est,
+        "PRSrank": est,
+        "DBGD": cmj,
+        "MGD": cmj,
+        "NSGD": cmj,
     }.get(algo, "")
     settings = {
         "train_input_feed": "ClickSimulationFeed",
