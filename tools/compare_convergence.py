@@ -152,6 +152,12 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
         _orig_csw = model.click_simulation_winners
 
         def _csw(input_feed, rankers_output, interleave_strategy=None):
+            # MGD passes its grad-carrying base output into the numpy
+            # Plackett-Luce sampler (mgd.py:140-142 -> dbgd.py:268), which
+            # torch rejects; detaching is semantically neutral here.
+            rankers_output = [
+                o.detach() if hasattr(o, "detach") else o
+                for o in rankers_output]
             return _orig_csw(
                 input_feed, rankers_output,
                 interleave_strategy
