@@ -87,18 +87,12 @@ def build_experiment(args, splits):
                                 args.selection_bias_cutoff)
     if args.click_model_dir:
         exp_settings["click_model_dir"] = args.click_model_dir
-    if args.dp == "auto":
-        dp = None
-    elif args.dp in ("off", "0", "1"):
-        dp = 0
-    else:
-        dp = int(args.dp)
     exp = Experiment(
         exp_settings, args.data_dir, args.model_dir,
         batch_size=args.batch_size, data_format=args.data_format,
         seed=args.seed,
         rank_cut=args.max_list_cutoff if args.max_list_cutoff > 0 else None,
-        dp=dp,
+        dp=args.dp,  # policy string coerced by Experiment.__init__
         split_prefixes={"train": args.train_data_prefix,
                         "valid": args.valid_data_prefix,
                         "test": args.test_data_prefix})

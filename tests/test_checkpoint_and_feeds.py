@@ -182,3 +182,42 @@ def test_online_feeds_accept_dynamic_bias_hparams(toy_data_dir,
         assert abs(float(feed._eta_at_step(jnp.asarray(45))) - 1.6) < 1e-6
         batch = feed.train_batch(jax.random.PRNGKey(2), state)
         assert np.isfinite(np.asarray(batch["labels"]).sum())
+
+
+def test_restore_with_mismatched_prng_is_clear_error(toy_data_dir, tmp_path):
+    """A checkpoint written under threefry must refuse to restore under
+    --prng rbg with a message naming the flag (key shapes differ)."""
+    import jax
+    import pytest
+
+    from ultra_pytorch_tpu.run.experiment import Experiment
+
+    settings = {
+        "train_input_feed": "DirectLabelFeed",
+        "train_input_hparams": "",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "Linear",
+        "ranking_model_hparams": "",
+        "learning_algorithm": "NaiveAlgorithm",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg"], "metrics_topn": [5],
+        "objective_metric": "ndcg_5",
+        "selection_bias_cutoff": 5,
+    }
+    exp = Experiment(settings, toy_data_dir, str(tmp_path / "m"),
+                     batch_size=8, dp=0)
+    exp.setup(splits=("train",))
+    exp.init_state()
+    exp.save()
+
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+        exp2 = Experiment(settings, toy_data_dir, str(tmp_path / "m"),
+                          batch_size=8, dp=0)
+        exp2.setup(splits=("train",))
+        exp2.init_state()
+        with pytest.raises(ValueError, match="--prng"):
+            exp2.restore()
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")

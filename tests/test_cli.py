@@ -115,7 +115,10 @@ def test_cli_data_prefix_and_start_saving(toy_data_dir, click_model_json,
         "--start_saving_iteration", "6",
     ], cwd=str(tmp_path))
     assert "Training done" in stdout
-    # windows end at steps 4 and 8; only step 8 may save
+    # windows end at steps 4 and 8; step 4 must NOT save (gate), step 8
+    # MUST (best is still None there, so any finite objective saves)
     assert "step 4" in stdout and "step 8" in stdout
     saves = [ln for ln in stdout.splitlines() if "saved checkpoint" in ln]
-    assert len(saves) <= 1
+    assert len(saves) == 1, stdout
+    step8_onward = stdout[stdout.index("step 8"):]
+    assert "saved checkpoint" in step8_onward

@@ -199,59 +199,13 @@ def part2_micro(iters):
 
 
 def _dla_qps(steps, ranker_extra="", algo_extra="", feed_extra=""):
-    import tempfile
+    from tools.bench_common import make_bench_setup, time_chunks
 
-    import jax
-
-    from __graft_entry__ import _exp_settings, _make_synthetic
-    from ultra_pytorch_tpu.input_layer.feeds import ClickSimulationFeed
-    from ultra_pytorch_tpu.run.experiment import create_algorithm
-    from ultra_pytorch_tpu.sim.click_models import click_model_json_numpy
-
-    ds = _make_synthetic(num_queries=4096, list_size=LIST_SIZE,
-                         feature_size=FEATURES)
-    settings = _exp_settings(LIST_SIZE)
-    settings["ranking_model_hparams"] += ranker_extra
-    settings["learning_algorithm_hparams"] = algo_extra
-    alg = create_algorithm(settings, ds.feature_size, ds.max_label)
-    dev = ds.to_device()
-
-    with tempfile.TemporaryDirectory() as td:
-        cm_path = os.path.join(td, "pbm.json")
-        with open(cm_path, "w") as fout:
-            json.dump(click_model_json_numpy("pbm", 0.1, 1.0, 4, 1.0), fout)
-        feed = ClickSimulationFeed(
-            alg, BATCH, f"click_model_json={cm_path}" + feed_extra, dev)
-
-        CHUNK = 25
-
-        def body(carry, _):
-            state, rng = carry
-            rng, k_batch, k_train = jax.random.split(rng, 3)
-            batch = feed.train_batch(k_batch, state)
-            state, metrics = alg.train_step(state, batch, k_train)
-            return (state, rng), metrics["loss"]
-
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def run_chunk(state, rng, data):
-            (state, rng), l = jax.lax.scan(body, (state, rng), None,
-                                           length=CHUNK)
-            return state, rng, l[-1]
-
-        state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
-        rng = jax.random.PRNGKey(1)
-        t0 = time.perf_counter()
-        state, rng, loss = run_chunk(state, rng, dev)
-        jax.block_until_ready(loss)
-        print(f"    (compile+warmup {time.perf_counter() - t0:.1f}s, "
-              f"loss={float(loss):.4f})", flush=True)
-
-        t0 = time.perf_counter()
-        for _ in range(steps // CHUNK):
-            state, rng, loss = run_chunk(state, rng, dev)
-        jax.block_until_ready(loss)
-        dt = time.perf_counter() - t0
-    return steps * BATCH / dt
+    alg, feed, dev = make_bench_setup(
+        batch=BATCH, list_size=LIST_SIZE, features=FEATURES,
+        ranker_extra=ranker_extra, algo_extra=algo_extra,
+        feed_extra=feed_extra)
+    return time_chunks(alg, feed, dev, steps, 25, FEATURES)
 
 
 def part3_e2e(steps):

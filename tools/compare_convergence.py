@@ -164,6 +164,20 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
                 or getattr(model, "interleaving_strategy", "Stochastic"))
 
         model.click_simulation_winners = _csw
+    # Also MGD.__init__ never builds the interleaving machinery its
+    # need_interleave=True default requires (DBGD does at dbgd.py:99-104;
+    # MGD overrides __init__ without it) — another unconditional crash.
+    if (getattr(model.hparams, "need_interleave", False)
+            and not hasattr(model, "interleaving")):
+        from ultra.utils.team_draft_interleave import TeamDraftInterleaving
+        import ultra.utils.click_models as ref_cm
+
+        model.interleaving = TeamDraftInterleaving()
+        model.MAX_SAMPLE_ROUND_NUM = 100
+        if getattr(model, "click_model", None) is None:
+            with open(model.hparams.click_model_json) as fin:
+                model.click_model = ref_cm.loadModelFromJson(json.load(fin))
+
     # Seventh shim (MGD only): MGD.train slices labels as [list, batch]
     # (mgd.py:108,130 — the TF1-era layout) but create_input_feed produces
     # [batch, list] (base_algorithm.py:182-183), so its NDCG call crashes

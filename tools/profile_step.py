@@ -47,105 +47,89 @@ def main():
 
     jax.config.update("jax_default_prng_impl", args.prng)
 
-    from __graft_entry__ import _exp_settings, _make_synthetic
-    from ultra_pytorch_tpu.input_layer.feeds import ClickSimulationFeed
-    from ultra_pytorch_tpu.run.experiment import create_algorithm
-    from ultra_pytorch_tpu.sim.click_models import click_model_json_numpy
+    from tools.bench_common import make_bench_setup
 
-    import tempfile
+    alg, feed, dev = make_bench_setup(
+        batch=BATCH, list_size=LIST_SIZE, features=FEATURES)
+    state = alg.init_state(jax.random.PRNGKey(0), FEATURES)
 
-    ds = _make_synthetic(num_queries=4096, list_size=LIST_SIZE,
-                         feature_size=FEATURES)
-    alg = create_algorithm(_exp_settings(LIST_SIZE), ds.feature_size,
-                           ds.max_label)
-    dev = ds.to_device()
+    @partial(jax.jit, donate_argnums=(1,))
+    def feed_chunk(state, rng, data):
+        def body(rng, _):
+            rng, k = jax.random.split(rng)
+            batch = feed.train_batch(k, state, data)
+            # touch every output so nothing is dead-code-eliminated
+            s = sum(jnp.sum(v) for v in batch.values())
+            return rng, s
+        rng, sums = jax.lax.scan(body, rng, None, length=CHUNK)
+        return rng, sums[-1]
 
-    with tempfile.TemporaryDirectory() as td:
-        cm_path = os.path.join(td, "pbm.json")
-        with open(cm_path, "w") as fout:
-            json.dump(click_model_json_numpy("pbm", 0.1, 1.0, 4, 1.0), fout)
-        feed = ClickSimulationFeed(alg, BATCH,
-                                   f"click_model_json={cm_path}", dev)
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_chunk(state, rng, batch):
+        def body(carry, _):
+            state, rng = carry
+            rng, k = jax.random.split(rng)
+            state, metrics = alg.train_step(state, batch, k)
+            return (state, rng), metrics["loss"]
+        (state, rng), losses = jax.lax.scan(
+            body, (state, rng), None, length=CHUNK)
+        return state, rng, losses[-1]
 
-        state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def full_chunk(state, rng, data):
+        def body(carry, _):
+            state, rng = carry
+            rng, kb, kt = jax.random.split(rng, 3)
+            batch = feed.train_batch(kb, state, data)
+            state, metrics = alg.train_step(state, batch, kt)
+            return (state, rng), metrics["loss"]
+        (state, rng), losses = jax.lax.scan(
+            body, (state, rng), None, length=CHUNK)
+        return state, rng, losses[-1]
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def feed_chunk(state, rng, data):
-            def body(rng, _):
-                rng, k = jax.random.split(rng)
-                batch = feed.train_batch(k, state, data)
-                # touch every output so nothing is dead-code-eliminated
-                s = sum(jnp.sum(v) for v in batch.values())
-                return rng, s
-            rng, sums = jax.lax.scan(body, rng, None, length=CHUNK)
-            return rng, sums[-1]
+    n_chunks = args.steps // CHUNK
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_chunk(state, rng, batch):
-            def body(carry, _):
-                state, rng = carry
-                rng, k = jax.random.split(rng)
-                state, metrics = alg.train_step(state, batch, k)
-                return (state, rng), metrics["loss"]
-            (state, rng), losses = jax.lax.scan(
-                body, (state, rng), None, length=CHUNK)
-            return state, rng, losses[-1]
-
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def full_chunk(state, rng, data):
-            def body(carry, _):
-                state, rng = carry
-                rng, kb, kt = jax.random.split(rng, 3)
-                batch = feed.train_batch(kb, state, data)
-                state, metrics = alg.train_step(state, batch, kt)
-                return (state, rng), metrics["loss"]
-            (state, rng), losses = jax.lax.scan(
-                body, (state, rng), None, length=CHUNK)
-            return state, rng, losses[-1]
-
-        n_chunks = args.steps // CHUNK
-
-        # feed only
-        rng = jax.random.PRNGKey(1)
+    # feed only
+    rng = jax.random.PRNGKey(1)
+    rng, s = feed_chunk(state, rng, dev)
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
         rng, s = feed_chunk(state, rng, dev)
-        jax.block_until_ready(s)
-        t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            rng, s = feed_chunk(state, rng, dev)
-        jax.block_until_ready(s)
-        us_feed = (time.perf_counter() - t0) / args.steps * 1e6
-        print(f"  feed  {us_feed:8.1f} us/step", flush=True)
+    jax.block_until_ready(s)
+    us_feed = (time.perf_counter() - t0) / args.steps * 1e6
+    print(f"  feed  {us_feed:8.1f} us/step", flush=True)
 
-        # train only (fixed batch)
-        batch = jax.jit(
-            lambda k, d: feed.train_batch(k, state, d))(
-                jax.random.PRNGKey(5), dev)
-        st, rng2 = state, jax.random.PRNGKey(2)
+    # train only (fixed batch)
+    batch = jax.jit(
+        lambda k, d: feed.train_batch(k, state, d))(
+            jax.random.PRNGKey(5), dev)
+    st, rng2 = state, jax.random.PRNGKey(2)
+    st, rng2, loss = train_chunk(st, rng2, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
         st, rng2, loss = train_chunk(st, rng2, batch)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            st, rng2, loss = train_chunk(st, rng2, batch)
-        jax.block_until_ready(loss)
-        us_train = (time.perf_counter() - t0) / args.steps * 1e6
-        print(f"  train {us_train:8.1f} us/step", flush=True)
+    jax.block_until_ready(loss)
+    us_train = (time.perf_counter() - t0) / args.steps * 1e6
+    print(f"  train {us_train:8.1f} us/step", flush=True)
 
-        # full pipeline
-        st = alg.init_state(jax.random.PRNGKey(3), ds.feature_size)
-        rng3 = jax.random.PRNGKey(4)
+    # full pipeline
+    st = alg.init_state(jax.random.PRNGKey(3), FEATURES)
+    rng3 = jax.random.PRNGKey(4)
+    st, rng3, loss = full_chunk(st, rng3, dev)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
         st, rng3, loss = full_chunk(st, rng3, dev)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            st, rng3, loss = full_chunk(st, rng3, dev)
-        jax.block_until_ready(loss)
-        us_full = (time.perf_counter() - t0) / args.steps * 1e6
-        print(f"  full  {us_full:8.1f} us/step", flush=True)
+    jax.block_until_ready(loss)
+    us_full = (time.perf_counter() - t0) / args.steps * 1e6
+    print(f"  full  {us_full:8.1f} us/step", flush=True)
 
-        print(json.dumps({"feed_us": round(us_feed, 1),
-                          "train_us": round(us_train, 1),
-                          "full_us": round(us_full, 1),
-                          "prng": args.prng}))
+    print(json.dumps({"feed_us": round(us_feed, 1),
+                      "train_us": round(us_train, 1),
+                      "full_us": round(us_full, 1),
+                      "prng": args.prng}))
 
 
 if __name__ == "__main__":

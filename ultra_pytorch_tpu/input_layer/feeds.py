@@ -193,25 +193,29 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
         ds = dataset if dataset is not None else self.dataset
         model = self._model_at_step(state.step)
         Q = ds.num_queries
+        B = self.batch_size
         k0, rng = jax.random.split(rng)
-        qs = jax.random.randint(k0, (self.batch_size,), 0, Q)
-        clicks, valid = self._simulate_clicks(model, rng, qs, ds)
         if self.check_validation and not self.hparams.oracle_mode:
-            rounds = self.RESAMPLE_ROUNDS
-
-            def body(carry, key):
-                qs, clicks, valid = carry
-                kq, kc = jax.random.split(key)
-                qs2 = jax.random.randint(kq, (self.batch_size,), 0, Q)
-                clicks2, valid2 = self._simulate_clicks(model, kc, qs2, ds)
-                take = (~valid) & valid2
-                qs = jnp.where(take, qs2, qs)
-                clicks = jnp.where(take[:, None], clicks2, clicks)
-                return (qs, clicks, valid | valid2), None
-
-            keys = jax.random.split(jax.random.fold_in(rng, 1), rounds)
-            (qs, clicks, valid), _ = jax.lax.scan(
-                body, (qs, clicks, valid), keys)
+            # All resample rounds at once: draw (1 + RESAMPLE_ROUNDS)
+            # candidate (query, clicks) pairs per slot as ONE batched
+            # simulation and keep each slot's first clicked round — the
+            # same first-valid distribution as sequential redrawing, but a
+            # single fused op instead of R tiny dependent ones (~60us off
+            # the feed at the bench shape; tools/profile_step.py).
+            R = 1 + self.RESAMPLE_ROUNDS
+            qs_all = jax.random.randint(k0, (R, B), 0, Q)
+            clicks_flat, valid_flat = self._simulate_clicks(
+                model, rng, qs_all.reshape(-1), ds)
+            clicks_all = clicks_flat.reshape(R, B, -1)
+            valid_all = valid_flat.reshape(R, B)
+            first = jnp.argmax(valid_all, axis=0)    # first valid; 0 if none
+            pick = (first, jnp.arange(B))
+            qs = qs_all[pick]
+            clicks = clicks_all[pick]
+            valid = valid_all.any(axis=0)
+        else:
+            qs = jax.random.randint(k0, (B,), 0, Q)
+            clicks, valid = self._simulate_clicks(model, rng, qs, ds)
 
         batch = ds.gather(qs, list_size=self.rank_list_size)
         batch["labels"] = clicks

@@ -23,8 +23,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(seed_ref, probs_ref, mask_ref, out_ref):
-    pltpu.prng_seed(seed_ref[0])
+def _kernel(n_seed_words, seed_ref, probs_ref, mask_ref, out_ref):
+    # Seed with EVERY word of the jax key (2 for threefry, 4 for rbg):
+    # a single 31-bit seed would collapse each batch's click pattern into
+    # a 2^31 space and collide (birthday bound) within ~77k kernel calls.
+    pltpu.prng_seed(*(seed_ref[i] for i in range(n_seed_words)))
     probs = probs_ref[:]
     # uniform in [0, 1) from 24 high bits (float32-exact). The raw bits
     # come back as SIGNED int32 — bitcast to uint32 first, or the shift
@@ -45,7 +48,16 @@ def pallas_sample_pbm_clicks(model_params, rng: jax.Array,
     `model_params` is a sim.click_models.ClickModelParams (PBM only).
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = False
+    if not interpret and jax.default_backend() != "tpu":
+        # The hardware-PRNG primitives (pltpu.prng_seed/prng_random_bits)
+        # have no interpret or non-TPU lowering; fail with a clear message
+        # instead of a Mosaic lowering error. Product callers
+        # (input_layer/feeds.py) gate on the backend and fall back to the
+        # jnp sampler.
+        raise NotImplementedError(
+            "pallas_sample_pbm_clicks requires a TPU backend "
+            "(hardware PRNG); use sim.click_models.sample_clicks off-TPU")
     if mask is None:
         mask = jnp.ones_like(labels)
     L = labels.shape[1]
@@ -56,10 +68,11 @@ def pallas_sample_pbm_clicks(model_params, rng: jax.Array,
                       model_params.click_prob.shape[0] - 1)
     click_p = model_params.click_prob[grades]              # [B, L]
     probs = exam * click_p
-    seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max,
-                              dtype=jnp.int32)
+    kd = rng if jnp.issubdtype(rng.dtype, jnp.unsignedinteger) \
+        else jax.random.key_data(rng)
+    seed = jax.lax.bitcast_convert_type(kd.reshape(-1), jnp.int32)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, seed.shape[0]),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

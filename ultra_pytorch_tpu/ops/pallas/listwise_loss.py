@@ -101,7 +101,7 @@ def fused_softmax_loss(output: jax.Array, labels: jax.Array,
     """Drop-in fused equivalent of ``ops.losses.softmax_loss`` (labels and
     weights are non-differentiable)."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     if propensity_weights is None:
         propensity_weights = jnp.ones_like(labels)
     if mask is None:

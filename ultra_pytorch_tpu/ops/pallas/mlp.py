@@ -147,7 +147,7 @@ def fused_mlp_score(params_layers: Sequence[dict], features: jax.Array,
     [B, L] (or [N]) float32 scores.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     flat = _flatten_params(params_layers)
     batched = features.ndim == 3
     if batched:

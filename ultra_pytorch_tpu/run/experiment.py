@@ -184,12 +184,23 @@ class Experiment:
         return os.path.join(self.model_dir, f"{algo_name}.ckpt")
 
     def save(self, extra: Dict[str, Any] = None):
+        meta = dict(extra or {})
+        # Key shapes depend on the PRNG impl (threefry (2,) vs rbg (4,));
+        # record it so a mismatched --prng at restore is a clear error.
+        meta.setdefault("prng_impl", str(jax.config.jax_default_prng_impl))
         ckpt_lib.save_checkpoint(
-            self.ckpt_path, (self.state, self._data_rng), extra or {})
+            self.ckpt_path, (self.state, self._data_rng), meta)
 
     def restore(self) -> bool:
         if not ckpt_lib.checkpoint_exists(self.ckpt_path):
             return False
+        saved_prng = ckpt_lib.read_metadata(self.ckpt_path).get("prng_impl")
+        cur_prng = str(jax.config.jax_default_prng_impl)
+        if saved_prng and saved_prng != cur_prng:
+            raise ValueError(
+                f"checkpoint {self.ckpt_path} was written with "
+                f"--prng {saved_prng} but this run uses --prng {cur_prng}; "
+                "rerun with the matching --prng (key shapes differ)")
         if not hasattr(self, "state"):
             self.init_state()
         (self.state, self._data_rng), _ = ckpt_lib.load_checkpoint(

@@ -91,5 +91,13 @@ def load_checkpoint(path: str, template: Any = None) -> Tuple[Any, dict]:
     return tree, legacy.get("metadata", {})
 
 
+def read_metadata(path: str) -> dict:
+    """Read only the JSON metadata of a checkpoint (no template needed)."""
+    data = np.load(path + ".npz")
+    if _META_KEY in data.files:
+        return json.loads(str(data[_META_KEY])).get("metadata", {})
+    return {}
+
+
 def checkpoint_exists(path: str) -> bool:
     return os.path.isfile(path + ".npz")
