@@ -175,7 +175,11 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
         model.interleaving = TeamDraftInterleaving()
         model.MAX_SAMPLE_ROUND_NUM = 100
         if getattr(model, "click_model", None) is None:
-            with open(model.hparams.click_model_json) as fin:
+            # MGD's HParams also omit click_model_json (DBGD declares it,
+            # dbgd.py:48); use the reference's bundled PBM.
+            cmj = getattr(model.hparams, "click_model_json",
+                          "./example/ClickModel/pbm_0.1_1.0_4_1.0.json")
+            with open(cmj) as fin:
                 model.click_model = ref_cm.loadModelFromJson(json.load(fin))
 
     # Seventh shim (MGD only): MGD.train slices labels as [list, batch]
@@ -278,7 +282,8 @@ def run_ours(data_dir, steps, algo="DLA"):
         "selection_bias_cutoff": 10,
     }
     exp = Experiment(settings, data_dir, "/tmp/conv_ours_model",
-                     batch_size=256)
+                     batch_size=256,
+                     seed=int(os.environ.get("ULTRA_CONV_SEED", "0")))
     exp.setup()
     exp.init_state()
     t0 = time.time()
