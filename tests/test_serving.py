@@ -1,0 +1,167 @@
+"""Serving subsystem: checkpoint-loading Scorer + local HTTP service.
+
+New capability vs the reference (no serving path there; closest surface is
+``main.py --test_only``, ref ``main.py:216-257``). Covers: metadata-only
+checkpoint loading, score parity with the training-side scorer, bucket
+padding invariance, ranking semantics with ragged lists, and an HTTP
+round-trip against a live threaded server.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    """Train DLA/DNN a few steps on toy data and save a checkpoint."""
+    from tools.make_toy_data import main as make_main
+    from ultra_pytorch_tpu.run.experiment import Experiment
+
+    data_dir = tmp_path_factory.mktemp("servedata")
+    make_main([str(data_dir), "--queries", "24", "--features", "64"])
+    model_dir = tmp_path_factory.mktemp("servemodel")
+    settings = {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams": "",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[16,8]",
+        "learning_algorithm": "DLA",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg"],
+        "metrics_topn": [5],
+        "objective_metric": "ndcg_5",
+        "selection_bias_cutoff": 5,
+    }
+    exp = Experiment(settings, str(data_dir), str(model_dir),
+                     batch_size=8, seed=0, dp=0)
+    exp.setup(splits=("train", "valid"))
+    exp.init_state()
+    exp.train_steps(4)
+    exp.save({"step": 4})
+    return exp, str(model_dir)
+
+
+@pytest.fixture(scope="module")
+def scorer(trained_model):
+    from ultra_pytorch_tpu.serve import Scorer
+
+    _, model_dir = trained_model
+    # Metadata-only load: no settings file, no feature_size argument.
+    return Scorer.from_checkpoint(model_dir)
+
+
+def test_from_checkpoint_matches_training_scorer(trained_model, scorer):
+    """Serving scores == the Experiment's own eval scores (same params)."""
+    import jax
+
+    exp, _ = trained_model
+    ds = exp.datasets["valid"]
+    dev = exp.device_data["valid"]
+    batch = dev.gather(np.arange(4))
+    train_side = np.asarray(jax.jit(
+        lambda s, b: exp.algorithm.score(s, b))(exp.state, batch))
+
+    feats = np.asarray(batch["features"])
+    n_valid = np.asarray(batch["mask"]).sum(axis=1).astype(int)
+    serve_side = scorer.score(feats, n_valid)
+    for i, n in enumerate(n_valid):
+        np.testing.assert_allclose(serve_side[i, :n], train_side[i, :n],
+                                   rtol=1e-5, atol=1e-5)
+    assert ds.feature_size == scorer.feature_size
+
+
+def test_bucket_padding_invariance(scorer):
+    """Same query scored alone, in a big batch, and under a larger list
+    bucket must produce identical scores (padding never leaks)."""
+    rng = np.random.default_rng(0)
+    f = scorer.feature_size
+    one = rng.normal(size=(1, 5, f)).astype(np.float32)
+    alone = scorer.score(one, [5])
+
+    big = np.concatenate([one] + [rng.normal(size=(1, 5, f)).astype(
+        np.float32) for _ in range(20)], axis=0)  # batch bucket 32
+    in_batch = scorer.score(big, [5] * 21)
+    np.testing.assert_allclose(in_batch[0], alone[0], rtol=1e-5, atol=1e-6)
+
+    wide = np.zeros((1, 17, f), np.float32)  # list bucket 32
+    wide[:, :5] = one
+    in_wide = scorer.score(wide, [5])
+    np.testing.assert_allclose(in_wide[0, :5], alone[0, :5],
+                               rtol=1e-5, atol=1e-6)
+    assert (in_wide[0, 5:] < -1e29).all(), "masked positions not -inf"
+
+
+def test_rank_ragged_lists(scorer):
+    """rank() orders by score desc and keeps invalid docs at the tail."""
+    rng = np.random.default_rng(1)
+    f = scorer.feature_size
+    feats = rng.normal(size=(3, 7, f)).astype(np.float32)
+    n_valid = [7, 3, 5]
+    scores = scorer.score(feats, n_valid)
+    order = scorer.rank(feats, n_valid)
+    for i, n in enumerate(n_valid):
+        row = order[i]
+        assert sorted(row.tolist()) == list(range(7))
+        ranked_scores = scores[i, row[:n]]
+        assert (np.diff(ranked_scores) <= 1e-6).all(), "not score-sorted"
+        assert set(row[:n].tolist()) == set(range(n)), \
+            "invalid docs ranked above valid ones"
+
+
+def test_compile_cache_buckets(scorer):
+    """Requests within one bucket reuse one compiled program."""
+    f = scorer.feature_size
+    scorer._compiled.clear()
+    for q, li in [(2, 5), (5, 7), (8, 8), (3, 6)]:
+        scorer.score(np.zeros((q, li, f), np.float32))
+    assert len(scorer._compiled) == 1, list(scorer._compiled)
+
+
+def test_http_round_trip(scorer):
+    from ultra_pytorch_tpu.serve import make_server
+
+    server = make_server(scorer, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health == {"status": "ok",
+                          "feature_size": scorer.feature_size}
+
+        rng = np.random.default_rng(2)
+        queries = [rng.normal(size=(4, scorer.feature_size)).tolist(),
+                   rng.normal(size=(2, scorer.feature_size)).tolist()]
+        req = urllib.request.Request(
+            f"{base}/v1/rank",
+            data=json.dumps({"queries": queries}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["ranked"]) == 2
+        assert sorted(out["ranked"][0]) == [0, 1, 2, 3]
+        assert sorted(out["ranked"][1]) == [0, 1]
+        assert len(out["scores"][0]) == 4 and len(out["scores"][1]) == 2
+        # Direct-scorer parity for the first query.
+        direct = scorer.score(
+            np.asarray(queries[0], np.float32)[None], [4])[0]
+        np.testing.assert_allclose(out["scores"][0], direct, rtol=1e-5,
+                                   atol=1e-6)
+
+        # Malformed request -> 400, not a crash.
+        bad = urllib.request.Request(
+            f"{base}/v1/rank", data=b'{"queries": [[[1, 2]]]}',
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad, timeout=30)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()

@@ -188,6 +188,23 @@ class Experiment:
         # Key shapes depend on the PRNG impl (threefry (2,) vs rbg (4,));
         # record it so a mismatched --prng at restore is a clear error.
         meta.setdefault("prng_impl", str(jax.config.jax_default_prng_impl))
+        # Embed the model schema so serving (serve/scorer.py) can rebuild
+        # the ranker + state template without the settings file. Settings
+        # are saved AFTER setup() resolved max_candidate_num /
+        # selection_bias_cutoff, which aux-state shapes depend on.
+        serializable = {}
+        for k, v in self.exp_settings.items():
+            try:
+                json.dumps(v)
+                serializable[k] = v
+            except TypeError:
+                pass
+        meta.setdefault("serve", {
+            "exp_settings": serializable,
+            "feature_size": int(self.datasets[next(
+                iter(self.datasets))].feature_size),
+            "max_label": float(self.max_label),
+        })
         ckpt_lib.save_checkpoint(
             self.ckpt_path, (self.state, self._data_rng), meta)
 

@@ -1,0 +1,108 @@
+"""Dependency-free local HTTP ranking service over :class:`Scorer`.
+
+Endpoints (JSON over HTTP/1.1, stdlib ``ThreadingHTTPServer``):
+
+* ``GET /healthz`` -> ``{"status": "ok", "feature_size": F}``
+* ``POST /v1/rank`` with body::
+
+      {"queries": [[[f...], [f...]], ...]}   # per query: list of feature
+                                             # vectors, one per candidate
+
+  -> ``{"ranked": [[doc indices best-first], ...],
+        "scores": [[score per candidate, input order], ...]}``
+
+Requests are padded to power-of-two shape buckets (see scorer.py), so a
+warmed server answers any request below its warmup maxima without
+recompiling. Device work is serialized with a lock (one accelerator, many
+HTTP threads).
+
+New capability — the reference has no serving path (SURVEY.md §2; its
+only inference surface is the offline ``--test_only`` ranklist writer,
+ref ``main.py:216-257``).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ultra_pytorch_tpu.serve.scorer import Scorer
+
+
+def make_server(scorer: Scorer, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server; ``port=0`` auto-picks."""
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok",
+                                  "feature_size": scorer.feature_size})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/rank":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                queries = req["queries"]
+                if not queries:
+                    raise ValueError("empty 'queries'")
+                n_valid = [len(q) for q in queries]
+                max_len = max(n_valid)
+                feats = np.zeros(
+                    (len(queries), max_len, scorer.feature_size), np.float32)
+                for i, q in enumerate(queries):
+                    arr = np.asarray(q, np.float32)
+                    if arr.ndim != 2 or arr.shape[1] != scorer.feature_size:
+                        raise ValueError(
+                            f"query {i}: expected [n_docs, "
+                            f"{scorer.feature_size}] features, got "
+                            f"{list(arr.shape)}")
+                    feats[i, : len(q)] = arr
+            except (KeyError, ValueError, TypeError) as exc:
+                self._reply(400, {"error": str(exc)})
+                return
+            with lock:
+                scores, order = scorer._score_ranked(feats, n_valid)
+            self._reply(200, {
+                "ranked": [order[i, : n].tolist()
+                           for i, n in enumerate(n_valid)],
+                "scores": [scores[i, : n].tolist()
+                           for i, n in enumerate(n_valid)],
+            })
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(scorer: Scorer, host: str = "127.0.0.1", port: int = 8000,
+          warmup_batch: int = 0, warmup_list: int = 0) -> None:
+    """Blocking entry point used by ``tools/serve.py``."""
+    if warmup_batch and warmup_list:
+        scorer.warmup(warmup_batch, warmup_list)
+    server = make_server(scorer, host, port)
+    print(f"serving on http://{server.server_address[0]}:"
+          f"{server.server_address[1]} (feature_size="
+          f"{scorer.feature_size})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
