@@ -123,6 +123,79 @@ def test_compile_cache_buckets(scorer):
     assert len(scorer._compiled) == 1, list(scorer._compiled)
 
 
+def test_use_pallas_scoring_parity(trained_model, scorer):
+    """The fused-kernel serving path (interpret mode on CPU) matches the
+    plain XLA scorer on the same checkpoint."""
+    from ultra_pytorch_tpu.serve import Scorer
+
+    _, model_dir = trained_model
+    pallas_scorer = Scorer.from_checkpoint(model_dir, use_pallas=True)
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(2, 6, scorer.feature_size)).astype(np.float32)
+    n_valid = [6, 4]
+    np.testing.assert_allclose(pallas_scorer.score(feats, n_valid),
+                               scorer.score(feats, n_valid),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_microbatcher_parity_and_coalescing(scorer):
+    """Concurrent submits return per-request results identical to direct
+    scoring, and bursts coalesce into fewer device calls."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ultra_pytorch_tpu.serve import MicroBatcher
+
+    rng = np.random.default_rng(4)
+    f = scorer.feature_size
+    reqs = [(rng.normal(size=(rng.integers(1, 4), li, f)
+                        ).astype(np.float32), li)
+            for li in (4, 6, 3, 6, 5, 4, 7, 3)]
+    batcher = MicroBatcher(scorer, max_delay_s=0.05)
+    try:
+        with ThreadPoolExecutor(8) as pool:
+            futs = [pool.submit(batcher.submit, feats) for feats, _ in reqs]
+            got = [fut.result(timeout=60) for fut in futs]
+        assert batcher.device_calls < len(reqs), \
+            "burst did not coalesce at all"
+        for (feats, li), (scores, order) in zip(reqs, got):
+            direct_s, direct_o = scorer._score_ranked(feats, None)
+            np.testing.assert_allclose(scores, direct_s, rtol=1e-5,
+                                       atol=1e-6)
+            np.testing.assert_array_equal(order, direct_o)
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_error_propagates(scorer, monkeypatch):
+    from ultra_pytorch_tpu.serve import MicroBatcher
+
+    batcher = MicroBatcher(scorer, max_delay_s=0.0)
+    try:
+        # Bad feature dim fails fast in the caller's thread.
+        with pytest.raises(ValueError, match="feature size"):
+            batcher.submit(np.zeros((1, 3, scorer.feature_size + 1),
+                                    np.float32))
+        # A worker-side failure propagates to the caller...
+        real = scorer._score_ranked
+        boom = {"armed": True}
+
+        def flaky(feats, n_valid):
+            if boom.pop("armed", False):
+                raise RuntimeError("device fell over")
+            return real(feats, n_valid)
+
+        monkeypatch.setattr(scorer, "_score_ranked", flaky)
+        with pytest.raises(RuntimeError, match="device fell over"):
+            batcher.submit(np.zeros((1, 3, scorer.feature_size),
+                                    np.float32))
+        # ...and the worker survives it and keeps serving.
+        scores, _ = batcher.submit(
+            np.zeros((1, 3, scorer.feature_size), np.float32))
+        assert scores.shape == (1, 3)
+    finally:
+        batcher.close()
+
+
 def test_http_round_trip(scorer):
     from ultra_pytorch_tpu.serve import make_server
 

@@ -40,6 +40,13 @@ def main(argv=None):
                    help="pre-compile buckets up to this batch size")
     p.add_argument("--warmup_list", type=int, default=0,
                    help="pre-compile buckets up to this list size")
+    p.add_argument("--use_pallas", action="store_true", default=None,
+                   help="force the fused Pallas MLP scoring kernel (DNN "
+                   "only; default auto = on for DNN on TPU)")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="force the plain XLA scoring path")
+    p.add_argument("--no_batching", action="store_true",
+                   help="disable request micro-batching (serve/batching.py)")
     args = p.parse_args(argv)
 
     if os.environ.get("ULTRA_PLATFORM"):
@@ -52,10 +59,13 @@ def main(argv=None):
     if args.setting_file:
         with open(args.setting_file) as fin:
             settings = json.load(fin)
+    use_pallas = False if args.no_pallas else args.use_pallas
     scorer = Scorer.from_checkpoint(args.model_dir, exp_settings=settings,
-                                    feature_size=args.feature_size)
+                                    feature_size=args.feature_size,
+                                    use_pallas=use_pallas)
     serve(scorer, args.host, args.port,
-          warmup_batch=args.warmup_batch, warmup_list=args.warmup_list)
+          warmup_batch=args.warmup_batch, warmup_list=args.warmup_list,
+          batch_requests=not args.no_batching)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ service on top of it.
 """
 
 from ultra_pytorch_tpu.serve.scorer import Scorer
+from ultra_pytorch_tpu.serve.batching import MicroBatcher
 from ultra_pytorch_tpu.serve.http_service import make_server, serve
 
-__all__ = ["Scorer", "make_server", "serve"]
+__all__ = ["Scorer", "MicroBatcher", "make_server", "serve"]

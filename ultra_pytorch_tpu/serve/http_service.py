@@ -33,8 +33,12 @@ from ultra_pytorch_tpu.serve.scorer import Scorer
 
 
 def make_server(scorer: Scorer, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
-    """Build (but do not start) the HTTP server; ``port=0`` auto-picks."""
+                port: int = 0, batcher=None) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server; ``port=0`` auto-picks.
+
+    With a ``serve.batching.MicroBatcher``, concurrent requests coalesce
+    into single device calls; otherwise device work serializes on a lock.
+    """
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -81,8 +85,11 @@ def make_server(scorer: Scorer, host: str = "127.0.0.1",
             except (KeyError, ValueError, TypeError) as exc:
                 self._reply(400, {"error": str(exc)})
                 return
-            with lock:
-                scores, order = scorer._score_ranked(feats, n_valid)
+            if batcher is not None:
+                scores, order = batcher.submit(feats, n_valid)
+            else:
+                with lock:
+                    scores, order = scorer._score_ranked(feats, n_valid)
             self._reply(200, {
                 "ranked": [order[i, : n].tolist()
                            for i, n in enumerate(n_valid)],
@@ -94,11 +101,16 @@ def make_server(scorer: Scorer, host: str = "127.0.0.1",
 
 
 def serve(scorer: Scorer, host: str = "127.0.0.1", port: int = 8000,
-          warmup_batch: int = 0, warmup_list: int = 0) -> None:
+          warmup_batch: int = 0, warmup_list: int = 0,
+          batch_requests: bool = True) -> None:
     """Blocking entry point used by ``tools/serve.py``."""
     if warmup_batch and warmup_list:
         scorer.warmup(warmup_batch, warmup_list)
-    server = make_server(scorer, host, port)
+    batcher = None
+    if batch_requests:
+        from ultra_pytorch_tpu.serve.batching import MicroBatcher
+        batcher = MicroBatcher(scorer)
+    server = make_server(scorer, host, port, batcher=batcher)
     print(f"serving on http://{server.server_address[0]}:"
           f"{server.server_address[1]} (feature_size="
           f"{scorer.feature_size})", flush=True)

@@ -76,6 +76,7 @@ class Scorer:
                         exp_settings: Optional[Dict[str, Any]] = None,
                         feature_size: Optional[int] = None,
                         max_label: Optional[float] = None,
+                        use_pallas: Optional[bool] = None,
                         **kwargs) -> "Scorer":
         """Load a trained ``Experiment`` checkpoint for serving.
 
@@ -85,6 +86,13 @@ class Scorer:
             needed for pre-r2 checkpoints without embedded serve metadata;
             when given it overrides the embedded settings.
           feature_size / max_label: likewise only needed as fallbacks.
+          use_pallas: run the DNN ranker through the fused Pallas scoring
+            kernel (ops/pallas/mlp.py). Training keeps it off — the
+            scan-fused train step leaves the kernel nothing to win
+            (BASELINE.md kernel table) — but the serving path IS the
+            standalone forward where the kernel wins at every measured
+            shape on the v5e chip (tools/bench_serve.py). Default None =
+            auto: on for the DNN ranker on TPU, off elsewhere.
         """
         from ultra_pytorch_tpu.run.experiment import create_algorithm
 
@@ -106,6 +114,20 @@ class Scorer:
                 raise ValueError(
                     f"cannot rebuild the ranker: '{key}' neither embedded "
                     f"in {ckpt} metadata nor passed via exp_settings")
+        is_dnn = settings["ranking_model"].rsplit(".", 1)[-1] == "DNN"
+        if use_pallas is None:
+            # Auto: the fused kernel wins at every measured serving shape
+            # on real TPU hardware (BASELINE.md serving table) but only
+            # exists for the DNN ranker; interpret mode off-TPU would be
+            # a slowdown, not a win.
+            use_pallas = is_dnn and jax.default_backend() == "tpu"
+        if use_pallas:
+            if not is_dnn:
+                raise ValueError("use_pallas serving requires the DNN "
+                                 f"ranker, got {settings['ranking_model']}")
+            hp = settings.get("ranking_model_hparams", "")
+            settings["ranking_model_hparams"] = (
+                (hp + "," if hp else "") + "use_pallas=true")
 
         alg = create_algorithm(settings, int(feature_size), float(max_label))
         template_state = alg.init_state(jax.random.PRNGKey(0),
