@@ -26,6 +26,12 @@ import os
 import sys
 import time
 
+# Persistent compiled-program cache (remote TPU compiles cost minutes;
+# main.py/bench.py default this too). Must be set before jax imports.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/ultra_tpu_jax"))
+
 # Our registry name -> reference class name (ultra.learning_algorithm.*).
 ALGOS = {
     "DLA": "DLA",

@@ -26,6 +26,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent compiled-program cache: serving buckets compile through the
+# remote TPU compile service (minutes each, cheap after caching).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/ultra_tpu_jax"))
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
