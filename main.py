@@ -55,7 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--start_saving_iteration", type=int, default=0,
                    help="do not save checkpoints before this iteration "
                         "(ref main.py:51-53)")
-    p.add_argument("--start_checkpoint", type=str, default="")
+    p.add_argument("--start_checkpoint", type=str, default="",
+                   help="explicit checkpoint path to restore (train or "
+                        "test); default: <model_dir>/<algo>.ckpt if present")
     p.add_argument("--steps_per_checkpoint", type=int, default=50)
     p.add_argument("--test_while_train", action="store_true")
     p.add_argument("--test_only", action="store_true")
@@ -110,8 +112,9 @@ def train(args):
         "train", "valid")
     exp = build_experiment(args, splits=splits)
     exp.init_state()
-    if exp.restore():
-        print(f"Restored checkpoint from {exp.ckpt_path}")
+    if exp.restore(args.start_checkpoint or None):
+        print(f"Restored checkpoint from "
+              f"{args.start_checkpoint or exp.ckpt_path}")
 
     logger = MetricLogger(args.log_dir or os.path.join(args.model_dir, "logs"))
     objective = exp.exp_settings.get("objective_metric", "ndcg_10")
@@ -161,7 +164,10 @@ def train(args):
 def test(args):
     exp = build_experiment(args, splits=("test",))
     exp.init_state()
-    if not exp.restore():
+    if exp.restore(args.start_checkpoint or None):
+        print(f"Restored checkpoint from "
+              f"{args.start_checkpoint or exp.ckpt_path}")
+    else:
         print("WARNING: no checkpoint found; testing from random init")
     summary = exp.validate("test")
     for k in sorted(summary):

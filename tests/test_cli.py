@@ -90,6 +90,8 @@ def test_cli_data_prefix_and_start_saving(toy_data_dir, click_model_json,
         "train_input_hparams": f"click_model_json={click_model_json}",
         "valid_input_feed": "DirectLabelFeed",
         "valid_input_hparams": "",
+        "test_input_feed": "DirectLabelFeed",
+        "test_input_hparams": "",
         "ranking_model": "Linear",
         "ranking_model_hparams": "",
         "learning_algorithm": "NaiveAlgorithm",
@@ -122,3 +124,30 @@ def test_cli_data_prefix_and_start_saving(toy_data_dir, click_model_json,
     assert len(saves) == 1, stdout
     step8_onward = stdout[stdout.index("step 8"):]
     assert "saved checkpoint" in step8_onward
+
+    # --start_checkpoint: explicit restore path into a FRESH model dir
+    # (the flag was parsed-but-dead before r3).
+    stdout = _run([
+        "--data_dir", toy_data_dir,
+        "--setting_file", str(setting_file),
+        "--model_dir", str(tmp_path / "model2"),
+        "--output_dir", str(tmp_path / "out2"),
+        "--valid_data_prefix", "test",
+        "--start_checkpoint", str(model_dir / "NaiveAlgorithm.ckpt"),
+        "--test_only",
+    ], cwd=str(tmp_path))
+    assert "Restored checkpoint from" in stdout
+    assert "WARNING: no checkpoint" not in stdout
+    # A bogus explicit path must be a hard error, not a silent fresh start.
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py"),
+         "--data_dir", toy_data_dir,
+         "--setting_file", str(setting_file),
+         "--model_dir", str(tmp_path / "model3"),
+         "--start_checkpoint", str(tmp_path / "nope.ckpt"),
+         "--test_only"],
+        cwd=str(tmp_path), env=dict(
+            os.environ, ULTRA_PLATFORM="cpu"),
+        capture_output=True, text=True, timeout=540)
+    assert proc.returncode != 0
+    assert "no checkpoint there" in proc.stderr

@@ -238,3 +238,94 @@ def test_http_round_trip(scorer):
         assert exc.value.code == 400
     finally:
         server.shutdown()
+
+
+def _post(base, payload, timeout=30):
+    req = urllib.request.Request(
+        f"{base}/v1/rank", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_http_request_limits_and_scoring_errors(scorer, monkeypatch):
+    """Oversized requests are rejected (413/400) before touching the
+    device, and a scoring-time failure returns a JSON 500 instead of a
+    dropped connection (ADVICE r2)."""
+    from ultra_pytorch_tpu.serve import make_server
+
+    server = make_server(scorer, port=0, max_body_bytes=10_000,
+                         max_queries=2, max_list_len=4)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address
+        base = f"http://{host}:{port}"
+        f = scorer.feature_size
+        ok_q = [[0.0] * f] * 2
+
+        # Too many queries -> 400.
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, {"queries": [ok_q, ok_q, ok_q]})
+        assert exc.value.code == 400
+        assert b"queries exceeds" in exc.value.read()
+
+        # Too long a candidate list -> 400.
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, {"queries": [[[0.0] * f] * 5]})
+        assert exc.value.code == 400
+        assert b"docs exceeds" in exc.value.read()
+
+        # Oversized body -> 413 before parsing.
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, {"queries": [[[0.5] * f] * 4] * 2,
+                         "pad": "x" * 20_000})
+        assert exc.value.code == 413
+
+        # A scoring-time exception -> JSON 500, and the server survives.
+        def boom(feats, n_valid):
+            raise RuntimeError("device fell over")
+
+        monkeypatch.setattr(scorer, "_score_ranked", boom)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, {"queries": [ok_q]})
+        assert exc.value.code == 500
+        assert b"device fell over" in exc.value.read()
+        monkeypatch.undo()
+        with _post(base, {"queries": [ok_q]}) as r:
+            assert len(json.loads(r.read())["ranked"]) == 1
+    finally:
+        server.shutdown()
+
+
+def test_microbatcher_submit_timeout(scorer, monkeypatch):
+    """A wedged device call surfaces as TimeoutError in the caller instead
+    of an indefinite hang, and close() fails still-queued items."""
+    import time
+
+    from ultra_pytorch_tpu.serve import MicroBatcher
+
+    release = threading.Event()
+
+    def wedged(feats, n_valid):
+        release.wait(10)
+        raise RuntimeError("late")
+
+    monkeypatch.setattr(scorer, "_score_ranked", wedged)
+    batcher = MicroBatcher(scorer, max_delay_s=0.0, submit_timeout_s=0.2)
+    try:
+        f = scorer.feature_size
+        t0 = time.monotonic()
+        with pytest.raises(TimeoutError, match="not served"):
+            batcher.submit(np.zeros((1, 3, f), np.float32))
+        assert time.monotonic() - t0 < 5
+        # Queue another item behind the wedged call, then close: the item
+        # must be failed, not left hanging.
+        from ultra_pytorch_tpu.serve.batching import _Pending
+        stuck = _Pending(np.zeros((1, 3, f), np.float32),
+                         np.asarray([3], np.int32))
+        with batcher._cv:
+            batcher._queue.append(stuck)
+        batcher.close()
+        assert stuck.event.is_set() and stuck.error is not None
+    finally:
+        release.set()

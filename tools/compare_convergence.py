@@ -68,9 +68,10 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
     from ultra.learning_algorithm.base_algorithm import BaseAlgorithm
     from ultra.utils.sys_tools import find_class
 
-    random.seed(0)
-    np.random.seed(0)
-    torch.manual_seed(0)
+    seed = int(os.environ.get("ULTRA_CONV_SEED", "0"))
+    random.seed(seed)
+    np.random.seed(seed)
+    torch.manual_seed(seed)
 
     def _patched(self, input_feed, list_size):
         self.labels = []
@@ -227,6 +228,9 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
 
     t0 = time.time()
     sink = io.StringIO()
+    n_evals = int(os.environ.get("ULTRA_CONV_EVALS", "5"))
+    eval_every = max(steps // n_evals, 1)
+    best = {}
     for step in range(steps):
         input_feed, _ = feed.get_batch(train, check_validation=True)
         # Some algorithms (e.g. pairwise_debias.py:127) torch.as_tensor the
@@ -241,13 +245,18 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
         input_feed.setdefault("winners", None)
         with contextlib.redirect_stdout(sink):
             model.train(input_feed)
-        if (step + 1) % max(steps // 5, 1) == 0:
+        if (step + 1) % eval_every == 0 or step + 1 == steps:
             with contextlib.redirect_stdout(sink):
                 summary = validate()
             vals = {k: float(v) for k, v in summary.items()}
+            for k, v in vals.items():
+                if v > best.get(k, (-1.0, 0))[0]:
+                    best[k] = (v, step + 1)
             print(f"[ref] step {step + 1} "
                   + " ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items())),
                   flush=True)
+    print("[ref] best " + " ".join(
+        f"{k}={v:.4f}@{s}" for k, (v, s) in sorted(best.items())), flush=True)
     print(f"[ref] total {time.time() - t0:.1f}s")
 
 
@@ -293,12 +302,14 @@ def run_ours(data_dir, steps, algo="DLA"):
     exp.setup()
     exp.init_state()
     t0 = time.time()
-    eval_every = max(steps // 5, 1)
+    n_evals = int(os.environ.get("ULTRA_CONV_EVALS", "5"))
+    eval_every = max(steps // n_evals, 1)
     # Keep the compiled-program count low and scan windows modest: remote
     # TPU compilation is minutes per program, so reuse one window size.
     window = 25
     done = 0
     since_eval = 0
+    best = {}
     while done < steps:
         w = min(window, steps - done)
         exp.train_steps(w)
@@ -307,10 +318,15 @@ def run_ours(data_dir, steps, algo="DLA"):
         if since_eval >= eval_every or done >= steps:
             since_eval = 0
             summary = exp.validate("valid")
+            for k, v in summary.items():
+                if v > best.get(k, (-1.0, 0))[0]:
+                    best[k] = (float(v), done)
             print(f"[ours] step {done} "
                   + " ".join(f"{k}={v:.4f}"
                              for k, v in sorted(summary.items())),
                   flush=True)
+    print("[ours] best " + " ".join(
+        f"{k}={v:.4f}@{s}" for k, (v, s) in sorted(best.items())), flush=True)
     print(f"[ours] total {time.time() - t0:.1f}s")
 
 

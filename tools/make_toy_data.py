@@ -81,8 +81,12 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("out_dir", nargs="?", default="tests/data")
     p.add_argument("--queries", type=int, default=30)
+    p.add_argument("--valid_queries", type=int, default=None,
+                   help="valid/test split size (default: same as --queries)")
     p.add_argument("--features", type=int, default=136)
     p.add_argument("--max_label", type=int, default=2)
+    p.add_argument("--min_docs", type=int, default=3)
+    p.add_argument("--max_docs", type=int, default=9)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--libsvm", action="store_true")
     args = p.parse_args(argv)
@@ -91,10 +95,13 @@ def main(argv=None):
     with open(os.path.join(args.out_dir, "settings.json"), "w") as fout:
         json.dump({"feature_size": args.features,
                    "max_label": float(args.max_label)}, fout)
-    rng = np.random.default_rng(args.seed)
     for i, prefix in enumerate(("train", "valid", "test")):
+        n = args.queries if prefix == "train" else (
+            args.valid_queries if args.valid_queries is not None
+            else args.queries)
         make_split(np.random.default_rng(args.seed + i), args.out_dir, prefix,
-                   args.queries, args.features, args.max_label,
+                   n, args.features, args.max_label,
+                   min_docs=args.min_docs, max_docs=args.max_docs,
                    libsvm=args.libsvm)
     print(f"Wrote toy dataset to {args.out_dir}")
 

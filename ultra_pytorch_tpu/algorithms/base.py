@@ -134,17 +134,24 @@ class BaseAlgorithm:
                                  batch.get("mask"), is_training=is_training)
 
     def validation_metrics(self, state: TrainState,
-                           batch: Dict[str, jax.Array]
+                           batch: Dict[str, jax.Array],
+                           rng: Optional[jax.Array] = None
                            ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Scores + the experiment's `metrics x metrics_topn` summary
         (the block every reference algorithm repeats,
-        e.g. ``dla.py:268-285``)."""
+        e.g. ``dla.py:268-285``).
+
+        With ``rng``, TIED scores are randomly ordered before metric
+        computation — the reference's shuffle_ties behavior (ref
+        ``metric_utils.py:49-85``); the driver passes a key derived from
+        (seed, train step), so runs stay reproducible while untrained /
+        degenerate rankers are no longer scored in initial-list order."""
         output = self.score(state, batch)
         summary = metrics_lib.evaluate(
             batch["labels"], output,
             self.exp_settings.get("metrics", ["mrr", "ndcg"]),
             self.exp_settings.get("metrics_topn", [3, 5, 10]),
-            max_label=self.max_label, mask=batch.get("mask"))
+            max_label=self.max_label, mask=batch.get("mask"), rng=rng)
         return output, summary
 
     def l2_penalty(self, params) -> jax.Array:

@@ -208,20 +208,29 @@ class Experiment:
         ckpt_lib.save_checkpoint(
             self.ckpt_path, (self.state, self._data_rng), meta)
 
-    def restore(self) -> bool:
-        if not ckpt_lib.checkpoint_exists(self.ckpt_path):
+    def restore(self, path: Optional[str] = None) -> bool:
+        """Restore full train state. `path` (the --start_checkpoint flag)
+        overrides the default <model_dir>/<algo>.ckpt; an explicit path
+        that does not exist is an error rather than a silent fresh start."""
+        ckpt = path or self.ckpt_path
+        if ckpt.endswith(".npz"):
+            ckpt = ckpt[: -len(".npz")]
+        if not ckpt_lib.checkpoint_exists(ckpt):
+            if path:
+                raise FileNotFoundError(
+                    f"--start_checkpoint {path}: no checkpoint there")
             return False
-        saved_prng = ckpt_lib.read_metadata(self.ckpt_path).get("prng_impl")
+        saved_prng = ckpt_lib.read_metadata(ckpt).get("prng_impl")
         cur_prng = str(jax.config.jax_default_prng_impl)
         if saved_prng and saved_prng != cur_prng:
             raise ValueError(
-                f"checkpoint {self.ckpt_path} was written with "
+                f"checkpoint {ckpt} was written with "
                 f"--prng {saved_prng} but this run uses --prng {cur_prng}; "
                 "rerun with the matching --prng (key shapes differ)")
         if not hasattr(self, "state"):
             self.init_state()
         (self.state, self._data_rng), _ = ckpt_lib.load_checkpoint(
-            self.ckpt_path, template=(self.state, self._data_rng))
+            ckpt, template=(self.state, self._data_rng))
         self._data_rng = jax.numpy.asarray(self._data_rng)
         self._place_state()
         return True
@@ -333,26 +342,82 @@ class Experiment:
         if "eval_step" not in self._compiled:
             alg = self.algorithm
 
-            def eval_step(state, batch):
-                return alg.validation_metrics(state, batch)
+            def eval_step(state, batch, rng):
+                return alg.validation_metrics(state, batch, rng=rng)
 
             self._compiled["eval_step"] = jax.jit(eval_step)
         return self._compiled["eval_step"]
 
+    def _fused_validate_fn(self):
+        """The whole full-batch portion of a validation pass as ONE
+        compiled program: lax.scan over batch starts, gathering + scoring +
+        all metrics on device, one host transfer per pass. The python
+        per-batch loop (one blocking float() per metric per batch) costs
+        ~n_batches x dispatch-latency — dominant at MSLR scale where
+        validation runs every steps_per_checkpoint window (BASELINE.md
+        eval-throughput row)."""
+        if "validate_fused" not in self._compiled:
+            alg = self.algorithm
+            B = self.batch_size
+
+            def fused(state, data, starts, rng):
+                def body(_, start):
+                    batch = data.gather(start + jnp.arange(B))
+                    k = None if rng is None else jax.random.fold_in(
+                        rng, start)
+                    _, summary = alg.validation_metrics(state, batch, rng=k)
+                    return None, summary
+
+                _, summaries = jax.lax.scan(body, None, starts)
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.mean(s, axis=0), summaries)
+
+            self._compiled["validate_fused"] = jax.jit(fused)
+        return self._compiled["validate_fused"]
+
+    def _eval_rng(self):
+        """Tie-break key for this validation pass, or None when disabled.
+
+        Derived from (seed, current step) so reruns are bit-reproducible;
+        `eval_shuffle_ties` (exp setting, default ON) mirrors the
+        reference's shuffle_ties=True metric sorting (ref
+        ``metric_utils.py:49-85``) — without it, tied scores (e.g. an
+        untrained ranker on click data) are scored in initial-list order.
+        """
+        if not self.exp_settings.get("eval_shuffle_ties", True):
+            return None
+        step = int(jax.device_get(self.state.step)) if hasattr(
+            self, "state") else 0
+        return jax.random.fold_in(
+            jax.random.PRNGKey(self.seed ^ 0x7EB7), step)
+
     def validate(self, split: str = "valid"):
         """Full-split evaluation with weighted summary merge
         (ref ``main.py:170-190`` + ``data_utils.py:501-514``)."""
-        eval_fn = self._eval_step_fn()
+        data = self.device_data[split]
+        Q = data.num_queries
+        B = self.batch_size
+        rng = self._eval_rng()
+        n_full = Q // B
         summaries, counts = [], []
-        for batch, _, count in self.feeds[split].eval_batches():
-            _, summary = eval_fn(self.state, batch)
+        if n_full:
+            fused = self._fused_validate_fn()
+            summary = fused(self.state, data,
+                            jnp.arange(n_full, dtype=jnp.int32) * B, rng)
             summaries.append({k: float(v) for k, v in summary.items()})
-            counts.append(count)
+            counts.append(n_full * B)
+        if Q % B:
+            eval_fn = self._eval_step_fn()
+            qs = jnp.arange(n_full * B, Q)
+            tail_rng = None if rng is None else jax.random.fold_in(
+                rng, n_full * B)
+            _, summary = eval_fn(self.state, data.gather(qs), tail_rng)
+            summaries.append({k: float(v) for k, v in summary.items()})
+            counts.append(Q - n_full * B)
         return data_lib.merge_summary(summaries, counts)
 
     def test_scores(self, split: str = "test") -> np.ndarray:
         """Scores over the full split in initial-list order [Q, L]."""
-        eval_fn = self._eval_step_fn()
         alg = self.algorithm
         score_fn = jax.jit(lambda state, batch: alg.score(state, batch))
         chunks = []

@@ -37,7 +37,8 @@ class MicroBatcher:
     """Blocking ``submit()`` front-end over a single scoring worker."""
 
     def __init__(self, scorer: Scorer, max_batch: int = 256,
-                 max_delay_s: float = 0.002):
+                 max_delay_s: float = 0.002,
+                 submit_timeout_s: float = 300.0):
         """Args:
           max_batch: cap on coalesced queries per device call (larger
             waiting requests are split across calls).
@@ -45,10 +46,16 @@ class MicroBatcher:
             the first one arrives — the classic latency/throughput knob.
             The default 2 ms is far below a network round-trip but several
             times a warmed scoring call, so bursts coalesce fully.
+          submit_timeout_s: upper bound a caller blocks in ``submit()``
+            before a TimeoutError — generous by default because a cold
+            bucket's first XLA compile can take minutes through a remote
+            compile service, but finite so a wedged device call can't hang
+            callers forever.
         """
         self.scorer = scorer
         self.max_batch = max_batch
         self.max_delay_s = max_delay_s
+        self.submit_timeout_s = submit_timeout_s
         self._queue: List[_Pending] = []
         self._cv = threading.Condition()
         self._closed = False
@@ -81,7 +88,9 @@ class MicroBatcher:
                 raise RuntimeError("MicroBatcher is closed")
             self._queue.append(item)
             self._cv.notify()
-        item.event.wait()
+        if not item.event.wait(timeout=self.submit_timeout_s):
+            raise TimeoutError(
+                f"rank request not served within {self.submit_timeout_s}s")
         if item.error is not None:
             raise item.error
         return item.scores, item.order
@@ -91,6 +100,16 @@ class MicroBatcher:
             self._closed = True
             self._cv.notify()
         self._worker.join(timeout=5)
+        if self._worker.is_alive():
+            # Worker is wedged (e.g. a hung device call): fail any items
+            # still queued so their callers wake instead of hanging until
+            # their own submit timeout.
+            with self._cv:
+                pending, self._queue = self._queue, []
+            for p in pending:
+                p.error = RuntimeError("MicroBatcher closed before serving "
+                                       "this request")
+                p.event.set()
 
     # -- worker side ------------------------------------------------------
     def _take_group(self) -> Optional[List[_Pending]]:

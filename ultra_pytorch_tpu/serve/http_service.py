@@ -33,11 +33,20 @@ from ultra_pytorch_tpu.serve.scorer import Scorer
 
 
 def make_server(scorer: Scorer, host: str = "127.0.0.1",
-                port: int = 0, batcher=None) -> ThreadingHTTPServer:
+                port: int = 0, batcher=None,
+                max_body_bytes: int = 64 << 20,
+                max_queries: int = 1024,
+                max_list_len: int = 1024) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``port=0`` auto-picks.
 
     With a ``serve.batching.MicroBatcher``, concurrent requests coalesce
     into single device calls; otherwise device work serializes on a lock.
+
+    ``max_body_bytes`` / ``max_queries`` / ``max_list_len`` bound each
+    request (413/400) BEFORE any allocation or device work — an oversized
+    request would otherwise trigger a huge host allocation plus a
+    minutes-long XLA compile of a brand-new shape bucket on the request
+    path.
     """
     lock = threading.Lock()
 
@@ -66,12 +75,22 @@ def make_server(scorer: Scorer, host: str = "127.0.0.1",
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > max_body_bytes:
+                    self._reply(413, {"error": f"request body {length} B "
+                                      f"exceeds limit {max_body_bytes} B"})
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 queries = req["queries"]
                 if not queries:
                     raise ValueError("empty 'queries'")
+                if len(queries) > max_queries:
+                    raise ValueError(f"{len(queries)} queries exceeds "
+                                     f"limit {max_queries}")
                 n_valid = [len(q) for q in queries]
                 max_len = max(n_valid)
+                if max_len > max_list_len:
+                    raise ValueError(f"list of {max_len} docs exceeds "
+                                     f"limit {max_list_len}")
                 feats = np.zeros(
                     (len(queries), max_len, scorer.feature_size), np.float32)
                 for i, q in enumerate(queries):
@@ -85,11 +104,17 @@ def make_server(scorer: Scorer, host: str = "127.0.0.1",
             except (KeyError, ValueError, TypeError) as exc:
                 self._reply(400, {"error": str(exc)})
                 return
-            if batcher is not None:
-                scores, order = batcher.submit(feats, n_valid)
-            else:
-                with lock:
-                    scores, order = scorer._score_ranked(feats, n_valid)
+            try:
+                if batcher is not None:
+                    scores, order = batcher.submit(feats, n_valid)
+                else:
+                    with lock:
+                        scores, order = scorer._score_ranked(feats, n_valid)
+            except Exception as exc:  # scoring-time failure -> JSON 500,
+                # not a dropped connection (e.g. batcher closed at
+                # shutdown, or an XLA compile/OOM failure on a new bucket)
+                self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+                return
             self._reply(200, {
                 "ranked": [order[i, : n].tolist()
                            for i, n in enumerate(n_valid)],
@@ -104,8 +129,12 @@ def serve(scorer: Scorer, host: str = "127.0.0.1", port: int = 8000,
           warmup_batch: int = 0, warmup_list: int = 0,
           batch_requests: bool = True) -> None:
     """Blocking entry point used by ``tools/serve.py``."""
-    if warmup_batch and warmup_list:
-        scorer.warmup(warmup_batch, warmup_list)
+    if warmup_batch or warmup_list:
+        # A lone flag warms up to that axis' maximum with the other at its
+        # minimum bucket (silently skipping warmup would leave compiles on
+        # the request path).
+        scorer.warmup(warmup_batch or scorer.min_batch_bucket,
+                      warmup_list or scorer.min_list_bucket)
     batcher = None
     if batch_requests:
         from ultra_pytorch_tpu.serve.batching import MicroBatcher
