@@ -32,6 +32,16 @@ os.environ.setdefault(
 if os.environ.get("ULTRA_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["ULTRA_PLATFORM"])
 
+# Multi-host launch (tools/run_multihost.py, or a real multi-host TPU pod):
+# ULTRA_COORDINATOR=host:port ULTRA_NUM_PROCESSES=N ULTRA_PROCESS_ID=i.
+# Must run before any backend initialization. On TPU pods JAX normally
+# auto-detects all three; the env vars cover CPU/manual launches.
+if os.environ.get("ULTRA_COORDINATOR"):
+    jax.distributed.initialize(
+        coordinator_address=os.environ["ULTRA_COORDINATOR"],
+        num_processes=int(os.environ["ULTRA_NUM_PROCESSES"]),
+        process_id=int(os.environ["ULTRA_PROCESS_ID"]))
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="ULTRA-TPU")

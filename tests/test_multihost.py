@@ -1,0 +1,90 @@
+"""REAL multi-process data parallelism (VERDICT r2 #4).
+
+Launches 2 separate processes, each with 4 virtual CPU devices, connected
+via ``jax.distributed.initialize`` — so ``jax.process_count() == 2`` is
+genuinely true and the multi-host code paths execute for real: per-host
+query striping + the host-stacked global train dataset
+(``parallel/mesh.py``), replicated validation, and the process-0
+checkpoint guard. The in-process unit tests in ``tests/test_parallel.py``
+fake host ids; this one does not.
+
+The resulting checkpoint must then restore in a SINGLE-process test run
+(cross-topology checkpoint portability).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_dp_end_to_end(tmp_path):
+    from tools.run_multihost import launch
+
+    out = launch(["--model_dir", str(tmp_path / "mh"),
+                  "--iters", "12", "--steps_per_checkpoint", "6",
+                  "--batch", "16"])
+    assert out["returncodes"] == [0, 0], out["tails"]
+    assert out["mesh_banner"], out["tails"]
+    # Replicated execution: both processes print identical loss+metrics.
+    assert out["metrics_identical"], out["tails"]
+    # Process-0 guard: exactly one checkpoint.
+    assert out["checkpoints"] == ["DLA.ckpt.npz"]
+
+    # The multi-host checkpoint restores in a plain single-process run.
+    env = dict(os.environ, ULTRA_PLATFORM="cpu")
+    env.pop("ULTRA_COORDINATOR", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py"),
+         "--data_dir", out["data_dir"],
+         "--setting_file", out["setting_file"],
+         "--model_dir", out["model_dir"],
+         "--output_dir", str(tmp_path / "out"),
+         "--test_only"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "Restored checkpoint from" in proc.stdout
+    assert (tmp_path / "out" / "test.ranklist").is_file()
+
+
+def test_stripes_are_shape_equal_and_cover():
+    """shard_queries_for_host produces shape-equal stripes whose union
+    covers every query (wrap-padding may duplicate a few on the tail
+    host), with feature tables compacted to referenced rows + zero pad."""
+    import numpy as np
+
+    from tools.make_toy_data import main as make_main
+    import tempfile
+
+    from ultra_pytorch_tpu.data import dataset as data_lib
+    from ultra_pytorch_tpu.parallel import shard_queries_for_host
+
+    with tempfile.TemporaryDirectory() as td:
+        make_main([td, "--queries", "13", "--features", "24"])
+        full = data_lib.read_data(td, "train", None)
+        stripes = [shard_queries_for_host(full, host_id=h, num_hosts=3)
+                   for h in range(3)]
+        shapes = [(s.num_queries, s.features.shape, s.initial_list.shape)
+                  for s in stripes]
+        assert all(sh == shapes[0] for sh in shapes), shapes
+        assert shapes[0][0] == 5  # ceil(13/3)
+        covered = set()
+        for s in stripes:
+            covered.update(s.qids)
+        assert covered == set(full.qids)
+        # Striped labels match the full dataset's for their own queries.
+        for s in stripes:
+            for local_q, qid in enumerate(s.qids):
+                gi = full.qids.index(qid)
+                np.testing.assert_array_equal(
+                    s.labels[local_q], full.labels[gi])
+                # Gather features through the local doc index and compare.
+                li = s.initial_list[local_q]
+                gl = full.initial_list[gi]
+                valid = gl >= 0
+                np.testing.assert_allclose(
+                    s.features[li[valid]], full.features[gl[valid]])

@@ -146,12 +146,11 @@ class RankingDataset:
         self.rank_list_size = rank_list_size
 
     # -- device export ----------------------------------------------------
-    def to_device(self, list_size: Optional[int] = None,
-                  sharding=None) -> "DeviceDataset":
-        """Export the dataset as device-resident arrays cut to `list_size`."""
-        import jax.numpy as jnp
-        import jax
-
+    def to_host_arrays(self, list_size: Optional[int] = None
+                       ) -> Dict[str, np.ndarray]:
+        """Densified numpy arrays in DeviceDataset layout (PAD row appended,
+        pads remapped) — the staging step of `to_device`, also used by
+        `parallel.host_stacked_dataset` for multi-host global assembly."""
         L = list_size or self.rank_list_size
         doc_idx = self.initial_list[:, :L].astype(np.int32)
         labels = self.labels[:, :L].astype(np.float32)
@@ -160,10 +159,23 @@ class RankingDataset:
         doc_idx = np.where(doc_idx >= 0, doc_idx, d)  # PAD -> zero row
         labels = labels * mask
         feats = np.concatenate(
-            [self.features, np.zeros((1, self.features.shape[1]), np.float32)], 0)
+            [self.features,
+             np.zeros((1, self.features.shape[1]), np.float32)], 0)
         scores = (self.initial_scores[:, :L].astype(np.float32)
-                  if self.initial_scores is not None and self.initial_scores.shape[1] >= L
+                  if self.initial_scores is not None
+                  and self.initial_scores.shape[1] >= L
                   else np.zeros_like(labels))
+        return {"features": feats, "doc_idx": doc_idx, "labels": labels,
+                "mask": mask, "initial_scores": scores,
+                "max_label": float(self.max_label)}
+
+    def to_device(self, list_size: Optional[int] = None,
+                  sharding=None) -> "DeviceDataset":
+        """Export the dataset as device-resident arrays cut to `list_size`."""
+        import jax.numpy as jnp
+        import jax
+
+        arrs = self.to_host_arrays(list_size)
 
         def put(x):
             if sharding is not None:
@@ -171,9 +183,10 @@ class RankingDataset:
             return jnp.asarray(x)
 
         return DeviceDataset(
-            features=put(feats), doc_idx=put(doc_idx), labels=put(labels),
-            mask=put(mask), initial_scores=put(scores),
-            max_label=float(self.max_label))
+            features=put(arrs["features"]), doc_idx=put(arrs["doc_idx"]),
+            labels=put(arrs["labels"]), mask=put(arrs["mask"]),
+            initial_scores=put(arrs["initial_scores"]),
+            max_label=arrs["max_label"])
 
 
 @dataclasses.dataclass(frozen=True)

@@ -4,5 +4,6 @@ from ultra_pytorch_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_dataset,
     shard_queries_for_host,
+    host_stacked_dataset,
     make_dp_train_step,
 )

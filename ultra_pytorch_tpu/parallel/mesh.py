@@ -65,11 +65,20 @@ def shard_queries_for_host(dataset, host_id: Optional[int] = None,
                            num_hosts: Optional[int] = None):
     """Per-host input sharding for multi-host data parallelism.
 
-    Each host keeps a contiguous stripe of queries (and only the feature
-    rows those queries reference), so MSLR/Istella-scale feature tables
-    are never replicated across hosts — per-host sharded LibSVM ingestion
-    per the BASELINE north star. Device-level batches are then drawn from
-    the host-local stripe by `make_dp_train_step`'s per-shard rng.
+    Each host keeps a stripe of queries (and only the feature rows those
+    queries reference), so MSLR/Istella-scale feature tables are never
+    replicated across hosts — per-host sharded LibSVM ingestion per the
+    BASELINE north star. Device-level batches are then drawn from the
+    host-local stripe by `make_dp_train_step`'s per-shard rng.
+
+    Every host's stripe has IDENTICAL array shapes (required to assemble
+    the stripes into one global jax.Array, see `host_stacked_dataset`):
+    query counts are equalized to ceil(Q/H) by wrap-repeating a host's own
+    leading queries (a slight duplicate-sampling bias on the last host
+    when H does not divide Q), and feature tables are zero-padded to the
+    largest per-stripe row count (every host loaded the full dataset
+    before striping, so the global maximum is computable locally without
+    communication; padding rows are never referenced by any doc index).
 
     Args:
       dataset: a host-side RankingDataset (modified copy returned).
@@ -82,29 +91,84 @@ def shard_queries_for_host(dataset, host_id: Optional[int] = None,
     if num_hosts <= 1:
         return dataset
     q = dataset.num_queries
-    start = (q * host_id) // num_hosts
-    stop = (q * (host_id + 1)) // num_hosts
-    il = dataset.initial_list[start:stop]
-    # compact the feature table to rows referenced by this stripe
+    if q < num_hosts:
+        raise ValueError(f"{q} queries cannot stripe over {num_hosts} hosts")
+    qh = -(-q // num_hosts)  # ceil
+
+    def stripe_sel(h: int) -> np.ndarray:
+        sel = np.arange(h * qh, min((h + 1) * qh, q))
+        if sel.size < qh:  # wrap-pad from this host's own stripe
+            sel = np.concatenate([sel, sel[: qh - sel.size]])
+        return sel
+
+    # Global max of per-stripe referenced-row counts (computable on every
+    # host identically — all hosts hold the full initial_list here).
+    max_rows = max(
+        np.unique(dataset.initial_list[stripe_sel(h)][
+            dataset.initial_list[stripe_sel(h)] >= 0]).size
+        for h in range(num_hosts))
+
+    sel = stripe_sel(host_id)
+    il = dataset.initial_list[sel]
     used = np.unique(il[il >= 0])
     remap = -np.ones(dataset.features.shape[0], dtype=np.int64)
     remap[used] = np.arange(used.size)
     il_new = np.where(il >= 0, remap[np.maximum(il, 0)], -1)
+    feats = dataset.features[used]
+    if feats.shape[0] < max_rows:
+        feats = np.concatenate(
+            [feats, np.zeros((max_rows - feats.shape[0], feats.shape[1]),
+                             feats.dtype)], axis=0)
     return dataclasses.replace(
         dataset,
-        features=dataset.features[used],
+        features=feats,
         initial_list=il_new,
-        labels=dataset.labels[start:stop],
-        initial_scores=(dataset.initial_scores[start:stop]
+        labels=dataset.labels[sel],
+        initial_scores=(dataset.initial_scores[sel]
                         if dataset.initial_scores is not None else None),
-        qids=dataset.qids[start:stop],
-        dids=[dataset.dids[i] for i in used],
+        qids=[dataset.qids[i] for i in sel],
+        dids=[dataset.dids[i] for i in used] + ["_PAD_"] * (
+            max_rows - used.size),
         initial_list_lengths=None,
     )
 
 
+def host_stacked_dataset(dataset, mesh: Mesh, list_size=None):
+    """Host-striped RankingDataset -> one GLOBAL DeviceDataset.
+
+    Every leaf gets a leading per-device axis of length mesh.devices.size,
+    sharded ``P(data)``, where device i's slice is its own host's stripe
+    (stripes are shape-equal by construction, `shard_queries_for_host`).
+    ``make_dp_train_step(..., host_sharded_data=True)`` unwraps the axis
+    inside the shard. This expresses "replicated within a host, distinct
+    across hosts" in JAX's global-SPMD array model — a plain replicated
+    device_put would (correctly) reject cross-host value mismatches.
+    """
+    host_np = dataset.to_host_arrays(list_size)
+    local = [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()]
+    n = mesh.devices.size
+
+    def stack(x):
+        x = np.asarray(x)[None]
+        sharding = NamedSharding(mesh, P(DATA_AXIS))
+        bufs = [jax.device_put(x, d) for d in local]
+        return jax.make_array_from_single_device_arrays(
+            (n,) + x.shape[1:], sharding, bufs)
+
+    from ultra_pytorch_tpu.data.dataset import DeviceDataset
+    return DeviceDataset(
+        features=stack(host_np["features"]),
+        doc_idx=stack(host_np["doc_idx"]),
+        labels=stack(host_np["labels"]),
+        mask=stack(host_np["mask"]),
+        initial_scores=stack(host_np["initial_scores"]),
+        max_label=host_np["max_label"])
+
+
 def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
-                       window: int = 1):
+                       window: int = 1,
+                       host_sharded_data: Optional[bool] = None):
     """Build a jitted data-parallel fused train step (or scan window).
 
     Returns step(state, rng, dataset) -> (state, metrics); `state` and the
@@ -122,17 +186,26 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
     ``algorithm.shard_rng`` hook bound here — see
     ``algorithms/base.py`` for the rationale (keeps DBGD-family candidate
     noise and NSGD's bad-noise memory consistent across replicas).
+
+    `host_sharded_data` (default: auto = process_count() > 1): the dataset
+    is a `host_stacked_dataset` global array with a leading per-device
+    axis (each device's slice = its host's stripe) instead of a replicated
+    one; the shard body strips the axis before use.
     """
     n = mesh.devices.size
     if feed.batch_size % n != 0:
         raise ValueError(
             f"batch_size {feed.batch_size} not divisible by mesh size {n}")
+    if host_sharded_data is None:
+        host_sharded_data = jax.process_count() > 1
 
     per_shard = feed.batch_size // n
 
     def sharded_body(state, rng, data):
         idx = jax.lax.axis_index(axis)
         fold = lambda key: jax.random.fold_in(key, idx)
+        if host_sharded_data:
+            data = jax.tree_util.tree_map(lambda x: x[0], data)
 
         def one_step(state, key):
             k_batch, k_train = jax.random.split(key)
@@ -174,7 +247,7 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
 
     mapped = shard_map(
         sharded_body, mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(DATA_AXIS) if host_sharded_data else P()),
         out_specs=(P(), P()),
         check_vma=False)
 

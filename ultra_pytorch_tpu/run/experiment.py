@@ -139,12 +139,22 @@ class Experiment:
         self.algorithm = create_algorithm(
             self.exp_settings, train_like.feature_size, self.max_label)
 
-        self.device_data = {s: d.to_device() for s, d in
-                            self.datasets.items()}
-        if self.mesh is not None:
-            from ultra_pytorch_tpu.parallel import shard_dataset
-            self.device_data = {s: shard_dataset(d, self.mesh)
-                                for s, d in self.device_data.items()}
+        multihost = jax.process_count() > 1 and self.mesh is not None
+        self.device_data = {}
+        for s, d in self.datasets.items():
+            if multihost and s == "train":
+                # The train split is HOST-STRIPED (different per process);
+                # assemble the stripes into one global array with a leading
+                # per-device axis (parallel/mesh.py host_stacked_dataset) —
+                # a replicated device_put would reject the value mismatch.
+                from ultra_pytorch_tpu.parallel import host_stacked_dataset
+                self.device_data[s] = host_stacked_dataset(d, self.mesh)
+                continue
+            dev = d.to_device()
+            if self.mesh is not None:
+                from ultra_pytorch_tpu.parallel import shard_dataset
+                dev = shard_dataset(dev, self.mesh)
+            self.device_data[s] = dev
 
         self.feeds = {}
         for split, role in (("train", "train"), ("valid", "valid"),
@@ -156,7 +166,10 @@ class Experiment:
             self.feeds[split] = feed_cls(
                 self.algorithm, self.batch_size,
                 self.exp_settings.get(f"{role}_input_hparams", ""),
-                self.device_data[split])
+                self.device_data[split],
+                # Host-stacked train data has a leading device axis, so the
+                # feed cannot infer the list size from array shapes.
+                list_size=self.datasets[split].rank_list_size)
         return self
 
     # -- state ------------------------------------------------------------
