@@ -3,6 +3,8 @@ reproduce the naive per-batch loop exactly (VERDICT r2 #5), and the
 tie-break rng must change only tied orderings (r2 #7 decision: shuffle
 ties ON by default, keyed by (seed, step) for reproducibility)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -94,3 +96,35 @@ def test_shuffle_ties_only_perturbs_ties(exp):
                                 rng=jax.random.PRNGKey(0))
     assert float(det["ndcg_5"]) == pytest.approx(1.0)  # initial-order bias
     assert float(shuf["ndcg_5"]) < 1.0 - 1e-4
+
+
+def test_online_reward_logged_for_online_feeds(exp, tmp_path):
+    """PDGD trained through an online simulation feed logs `online_reward`
+    (mean clicks on the shown list); supervised/offline batches don't."""
+    import jax
+
+    from ultra_pytorch_tpu.input_layer.feeds import (
+        StochasticOnlineSimulationFeed)
+    from ultra_pytorch_tpu.run.experiment import create_algorithm
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    settings = dict(exp.exp_settings, learning_algorithm="PDGD",
+                    learning_algorithm_hparams="")
+    alg = create_algorithm(settings, exp.datasets["train"].feature_size,
+                           exp.max_label)
+    dev = exp.device_data["train"]
+    feed = StochasticOnlineSimulationFeed(
+        alg, 8,
+        f"click_model_json={repo}/example/ClickModel/"
+        "pbm_0.1_1.0_4_1.0.json", dev)
+    state = alg.init_state(jax.random.PRNGKey(0), dev.feature_size)
+    batch = feed.train_batch(jax.random.PRNGKey(1), state, dev)
+    assert "relevance" in batch  # online-feed marker
+    _, metrics = jax.jit(alg.train_step)(state, batch,
+                                         jax.random.PRNGKey(2))
+    assert 0.0 <= float(metrics["online_reward"]) <= alg.rank_list_size
+
+    offline = dev.gather(np.arange(8))  # no shown-list semantics
+    _, metrics = jax.jit(alg.train_step)(state, offline,
+                                         jax.random.PRNGKey(3))
+    assert "online_reward" not in metrics

@@ -175,6 +175,9 @@ def test_dp_bandit_family_replica_consistent(algo, toy, click_model_json):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, sub, dev)
     assert np.isfinite(float(metrics["loss"]))
+    # Bandit family logs the per-step online reward (mean clicks on the
+    # multileaved SHOWN list) — bounded by the training cutoff.
+    assert 0.0 <= float(metrics["online_reward"]) <= alg.rank_list_size
     for leaf in jax.tree_util.tree_leaves(state):
         assert _shards_identical(leaf), (
             f"{algo}: state leaf desynced across replicas")

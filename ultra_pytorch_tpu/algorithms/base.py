@@ -166,6 +166,21 @@ class BaseAlgorithm:
             return self.grad_sync(tree)
         return tree
 
+    def online_reward_metric(self, batch: Dict[str, jax.Array]
+                             ) -> Optional[jax.Array]:
+        """Per-step online reward — mean clicks the simulated user gave
+        the SHOWN list — when the batch came from an online simulation
+        feed (marker: the feed attaches ranked true labels under
+        "relevance"; offline/supervised batches have no shown-list
+        semantics). Logged as `online_reward`, the online-LTR
+        literature's cumulative-reward axis; free to compute since
+        click simulation is fused on-device (VERDICT r2 #8)."""
+        if "relevance" not in batch:
+            return None
+        L = self.rank_list_size
+        clicks = batch["labels"][:, :L] * batch["mask"][:, :L]
+        return self.sync(jnp.mean(clicks.sum(axis=1)))
+
     def per_shard_rng(self, key: jax.Array) -> jax.Array:
         """Fold the shard index into `key` under data parallelism (identity
         on a single device) — see the shard_rng convention above."""

@@ -77,7 +77,12 @@ class DBGD(BaseAlgorithm):
 
     # -- winner inference --------------------------------------------------
     def _interleave_winners(self, rng, score_list, batch):
-        """[B, R+1] click-share credit via multileaving (ref :248-324)."""
+        """(winners [B, R+1] click-share credit, clicks [B, L] on the SHOWN
+        multileaved list) via multileaving (ref :248-324). The clicks are
+        the per-step ONLINE REWARD — what the simulated user actually gave
+        the list the bandit presented — logged as `online_reward` (the
+        online-LTR literature's cumulative-reward axis; neither the
+        reference nor its companion papers log it, but it is free here)."""
         mask = batch["mask"]
         labels = batch["labels"]
         L = min(self.rank_list_size, labels.shape[1])
@@ -114,7 +119,7 @@ class DBGD(BaseAlgorithm):
         keys = jax.random.split(jax.random.fold_in(k_click, 3),
                                 self.CLICK_RESAMPLE_ROUNDS)
         (clicks, _), _ = jax.lax.scan(body, (clicks, valid), keys)
-        return infer_winners(teams[:, :L], clicks, len(score_list))
+        return infer_winners(teams[:, :L], clicks, len(score_list)), clicks
 
     def _ndcg_winners(self, score_list, batch):
         """[R+1] batch-NDCG-gain credit (ref :139-149)."""
@@ -155,10 +160,14 @@ class DBGD(BaseAlgorithm):
             score_list.append(self.score_with_params(cand, batch,
                                                      is_training=False))
 
+        online_reward = None
         if self.hparams.need_interleave:
-            winners = self._interleave_winners(k_win, score_list, batch)
+            winners, shown_clicks = self._interleave_winners(
+                k_win, score_list, batch)
             win_share = jnp.mean(winners, axis=0)          # [R+1]
             win_totals = jnp.sum(winners, axis=0)          # [R+1]
+            # Mean clicks per presented list = per-step online reward.
+            online_reward = self.sync(jnp.mean(shown_clicks.sum(axis=1)))
         else:
             win_share = self._ndcg_winners(score_list, batch)
             win_totals = win_share
@@ -188,6 +197,8 @@ class DBGD(BaseAlgorithm):
         ndcg0 = normalized_discounted_cumulative_gain(
             labels, cur, None, [self.rank_list_size])[0]
         new_aux = self._update_aux(state, noises, win_totals)
+        metrics = {"loss": 1.0 - ndcg0}
+        if online_reward is not None:
+            metrics["online_reward"] = online_reward
         return state.replace(params=new_params, opt_state=opt_state,
-                             aux=new_aux, step=state.step + 1), \
-            {"loss": 1.0 - ndcg0}
+                             aux=new_aux, step=state.step + 1), metrics

@@ -116,5 +116,9 @@ class PDGD(BaseAlgorithm):
         loss, grads = jax.value_and_grad(loss_of)(state.params)
         params, opt_state = self.apply_updates(
             self.optimizer(), state.params, state.opt_state, grads)
+        metrics = {"loss": loss}
+        reward = self.online_reward_metric(batch)
+        if reward is not None:
+            metrics["online_reward"] = reward
         return state.replace(params=params, opt_state=opt_state,
-                             step=state.step + 1), {"loss": loss}
+                             step=state.step + 1), metrics
