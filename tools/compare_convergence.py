@@ -210,7 +210,21 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
                 model.create_input_feed = _orig_cif
 
         model.train = _train_shim
-    feed = ClickSimulationFeed(model, 256, "")
+    # ULTRA_CONV_FEED=stochastic selects the reference's ONLINE protocol
+    # (example/online_setting/*_exp_settings.json). Needed for PDGD at
+    # scale: the reference's OFFLINE pdgd_exp_settings.json pairs PDGD
+    # (which gathers max_candidate_num positions, ref pdgd.py:107) with
+    # ClickSimulationFeed (which only builds rank_list_size positions) —
+    # KeyError 'docid_input10' out of the box on any dataset whose lists
+    # exceed the cutoff; yet another never-run reference config.
+    if os.environ.get("ULTRA_CONV_FEED", "click") == "stochastic":
+        from ultra.input_layer.stochastic_online_simulation_feed import (
+            StochasticOnlineSimulationFeed)
+        if not hasattr(model.hparams, "need_interleave"):
+            model.hparams.add_hparam("need_interleave", False)
+        feed = StochasticOnlineSimulationFeed(model, 256, "")
+    else:
+        feed = ClickSimulationFeed(model, 256, "")
     vfeed = DirectLabelFeed(model, 256, "")
 
     def validate():
@@ -278,8 +292,11 @@ def run_ours(data_dir, steps, algo="DLA"):
         "MGD": cmj,
         "NSGD": cmj,
     }.get(algo, "")
+    feed_name = {"click": "ClickSimulationFeed",
+                 "stochastic": "StochasticOnlineSimulationFeed"}[
+        os.environ.get("ULTRA_CONV_FEED", "click")]
     settings = {
-        "train_input_feed": "ClickSimulationFeed",
+        "train_input_feed": feed_name,
         "train_input_hparams":
             f"click_model_json={repo}/example/ClickModel/pbm_0.1_1.0_4_1.0.json",
         "valid_input_feed": "DirectLabelFeed",
