@@ -167,19 +167,35 @@ class BaseAlgorithm:
         return tree
 
     def online_reward_metric(self, batch: Dict[str, jax.Array]
-                             ) -> Optional[jax.Array]:
-        """Per-step online reward — mean clicks the simulated user gave
-        the SHOWN list — when the batch came from an online simulation
-        feed (marker: the feed attaches ranked true labels under
-        "relevance"; offline/supervised batches have no shown-list
-        semantics). Logged as `online_reward`, the online-LTR
-        literature's cumulative-reward axis; free to compute since
-        click simulation is fused on-device (VERDICT r2 #8)."""
+                             ) -> Optional[Dict[str, jax.Array]]:
+        """Per-step online metrics of the SHOWN list, when the batch came
+        from an online simulation feed (marker: the feed attaches ranked
+        true labels under "relevance"; offline/supervised batches have no
+        shown-list semantics):
+
+          * ``online_reward`` — mean clicks the simulated user gave the
+            shown list (the raw bandit feedback);
+          * ``online_ndcg`` — nDCG@cutoff of the shown ordering against
+            TRUE relevance — the cumulative online-performance axis of
+            the online-LTR literature (what the user actually
+            experienced while the bandit explored).
+
+        Both are free to compute since simulation is fused on-device
+        (VERDICT r2 #8)."""
         if "relevance" not in batch:
             return None
         L = self.rank_list_size
-        clicks = batch["labels"][:, :L] * batch["mask"][:, :L]
-        return self.sync(jnp.mean(clicks.sum(axis=1)))
+        mask = batch["mask"][:, :L]
+        clicks = batch["labels"][:, :L] * mask
+        # The shown order IS the batch order (the feed already reranked),
+        # so score positions descending to evaluate the shown list as-is.
+        shown_scores = metrics_lib.mask_padding(
+            -jnp.broadcast_to(jnp.arange(L, dtype=jnp.float32),
+                              mask.shape), mask)
+        ndcg = metrics_lib.normalized_discounted_cumulative_gain(
+            batch["relevance"][:, :L] * mask, shown_scores, None, [L])[0]
+        return {"online_reward": self.sync(jnp.mean(clicks.sum(axis=1))),
+                "online_ndcg": self.sync(ndcg)}
 
     def per_shard_rng(self, key: jax.Array) -> jax.Array:
         """Fold the shard index into `key` under data parallelism (identity

@@ -78,11 +78,14 @@ class DBGD(BaseAlgorithm):
     # -- winner inference --------------------------------------------------
     def _interleave_winners(self, rng, score_list, batch):
         """(winners [B, R+1] click-share credit, clicks [B, L] on the SHOWN
-        multileaved list) via multileaving (ref :248-324). The clicks are
-        the per-step ONLINE REWARD — what the simulated user actually gave
-        the list the bandit presented — logged as `online_reward` (the
-        online-LTR literature's cumulative-reward axis; neither the
-        reference nor its companion papers log it, but it is free here)."""
+        multileaved list, online nDCG of that list or None) via
+        multileaving (ref :248-324). The clicks are the per-step ONLINE
+        REWARD — what the simulated user actually gave the list the
+        bandit presented — and online nDCG scores the shown ordering
+        against true relevance when an online feed attached it; both are
+        logged per step (the online-LTR literature's cumulative-
+        performance axis; neither the reference nor its companion papers
+        log it, but it is free here)."""
         mask = batch["mask"]
         labels = batch["labels"]
         L = min(self.rank_list_size, labels.shape[1])
@@ -119,7 +122,21 @@ class DBGD(BaseAlgorithm):
         keys = jax.random.split(jax.random.fold_in(k_click, 3),
                                 self.CLICK_RESAMPLE_ROUNDS)
         (clicks, _), _ = jax.lax.scan(body, (clicks, valid), keys)
-        return infer_winners(teams[:, :L], clicks, len(score_list)), clicks
+
+        # Online nDCG of the multileaved SHOWN list against TRUE relevance
+        # (only when an online feed attached it) — what the user
+        # experienced while the bandit explored.
+        online_ndcg = None
+        if "relevance" in batch:
+            from ultra_pytorch_tpu.metrics.ranking import mask_padding
+            rel_ml = rerank(batch["relevance"], multileaved)[:, :L]
+            shown_scores = mask_padding(
+                -jnp.broadcast_to(jnp.arange(L, dtype=jnp.float32),
+                                  top_mask.shape), top_mask)
+            online_ndcg = normalized_discounted_cumulative_gain(
+                rel_ml * top_mask, shown_scores, None, [L])[0]
+        return (infer_winners(teams[:, :L], clicks, len(score_list)),
+                clicks, online_ndcg)
 
     def _ndcg_winners(self, score_list, batch):
         """[R+1] batch-NDCG-gain credit (ref :139-149)."""
@@ -160,14 +177,16 @@ class DBGD(BaseAlgorithm):
             score_list.append(self.score_with_params(cand, batch,
                                                      is_training=False))
 
-        online_reward = None
+        online_reward = online_ndcg = None
         if self.hparams.need_interleave:
-            winners, shown_clicks = self._interleave_winners(
+            winners, shown_clicks, online_ndcg = self._interleave_winners(
                 k_win, score_list, batch)
             win_share = jnp.mean(winners, axis=0)          # [R+1]
             win_totals = jnp.sum(winners, axis=0)          # [R+1]
             # Mean clicks per presented list = per-step online reward.
             online_reward = self.sync(jnp.mean(shown_clicks.sum(axis=1)))
+            if online_ndcg is not None:
+                online_ndcg = self.sync(online_ndcg)
         else:
             win_share = self._ndcg_winners(score_list, batch)
             win_totals = win_share
@@ -200,5 +219,7 @@ class DBGD(BaseAlgorithm):
         metrics = {"loss": 1.0 - ndcg0}
         if online_reward is not None:
             metrics["online_reward"] = online_reward
+        if online_ndcg is not None:
+            metrics["online_ndcg"] = online_ndcg
         return state.replace(params=new_params, opt_state=opt_state,
                              aux=new_aux, step=state.step + 1), metrics

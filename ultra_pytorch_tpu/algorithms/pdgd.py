@@ -117,8 +117,6 @@ class PDGD(BaseAlgorithm):
         params, opt_state = self.apply_updates(
             self.optimizer(), state.params, state.opt_state, grads)
         metrics = {"loss": loss}
-        reward = self.online_reward_metric(batch)
-        if reward is not None:
-            metrics["online_reward"] = reward
+        metrics.update(self.online_reward_metric(batch) or {})
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), metrics
