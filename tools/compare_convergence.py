@@ -292,6 +292,9 @@ def run_ours(data_dir, steps, algo="DLA"):
         "MGD": cmj,
         "NSGD": cmj,
     }.get(algo, "")
+    extra = os.environ.get("ULTRA_CONV_ALGO_EXTRA", "")
+    if extra:
+        algo_hparams = (algo_hparams + "," if algo_hparams else "") + extra
     feed_name = {"click": "ClickSimulationFeed",
                  "stochastic": "StochasticOnlineSimulationFeed"}[
         os.environ.get("ULTRA_CONV_FEED", "click")]

@@ -57,23 +57,28 @@ def analyze(batch=256, list_size=10, features=136, chunk=50, steps=400,
     state = alg.init_state(jax.random.PRNGKey(0), features)
     rng = jax.random.PRNGKey(1)
 
-    lowered = run_chunk.lower(state, rng, dev)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
+    # Cost from the SINGLE-step program (chunk=1, no lax.scan): XLA's cost
+    # analysis counts a while-loop body ONCE regardless of trip count, so
+    # a scanned chunk's reported flops equal one iteration's — empirically
+    # verified (the chunk=50 report matches the hand-computed single-step
+    # FLOPs exactly). Timing still uses the scanned chunk below, which is
+    # what production runs dispatch.
+    single = make_run_chunk(alg, feed, 1)
+    cost = single.lower(state, rng, dev).compile().cost_analysis()
     if isinstance(cost, list):  # older jax returns one dict per device
         cost = cost[0]
-    flops_chunk = float(cost.get("flops", 0.0))
-    bytes_chunk = float(cost.get("bytes accessed", 0.0))
+    flops_step = float(cost.get("flops", 0.0))
+    bytes_step = float(cost.get("bytes accessed", 0.0))
 
     out = {
         "protocol": {"batch": batch, "list_size": list_size,
                      "features": features, "chunk": chunk, "prng": prng},
-        "flops_per_step": flops_chunk / chunk,
-        "flops_per_query": flops_chunk / (chunk * batch),
-        "bytes_per_step": bytes_chunk / chunk,
-        "bytes_per_query": bytes_chunk / (chunk * batch),
-        "arithmetic_intensity": (flops_chunk / bytes_chunk
-                                 if bytes_chunk else float("nan")),
+        "flops_per_step": flops_step,
+        "flops_per_query": flops_step / batch,
+        "bytes_per_step": bytes_step,
+        "bytes_per_query": bytes_step / batch,
+        "arithmetic_intensity": (flops_step / bytes_step
+                                 if bytes_step else float("nan")),
     }
     if not timed:
         return out
@@ -90,23 +95,33 @@ def analyze(batch=256, list_size=10, features=136, chunk=50, steps=400,
     step_s = dt / (n_chunks * chunk)
     qps = batch / step_s
 
-    achieved_flops = flops_chunk / (dt / n_chunks)
-    achieved_bw = bytes_chunk / (dt / n_chunks)
-    compute_floor = flops_chunk / chunk / PEAK_BF16
-    memory_floor = bytes_chunk / chunk / PEAK_HBM
+    achieved_flops = flops_step / step_s
+    achieved_bw = bytes_step / step_s
+    compute_floor = flops_step / PEAK_BF16
+    memory_floor = bytes_step / PEAK_HBM
     out.update({
         "queries_per_sec": qps,
         "step_time_us": step_s * 1e6,
         "achieved_tflops": achieved_flops / 1e12,
         "achieved_hbm_gbs": achieved_bw / 1e9,
         "mfu_vs_bf16_peak": achieved_flops / PEAK_BF16,
+        # This protocol's matmuls are f32; the v5e MXU runs f32 at ~1/4
+        # its bf16 rate, so this is utilization of the rate the chosen
+        # dtype can actually reach.
+        "mfu_vs_f32_rate": achieved_flops / (PEAK_BF16 / 4),
         "hbm_utilization": achieved_bw / PEAK_HBM,
-        # Roofline floors: the minimum step time each resource alone allows.
-        "compute_floor_us": compute_floor * 1e6,
-        "memory_floor_us": memory_floor * 1e6,
-        "roofline_bound": ("memory" if memory_floor > compute_floor
-                           else "compute"),
-        "roofline_headroom_x": step_s / max(compute_floor, memory_floor),
+        # Roofline floors: the minimum step time each resource alone
+        # allows. CAVEAT on bytes: XLA's "bytes accessed" is PRE-FUSION
+        # logical operand/output bytes — an upper bound on true HBM
+        # traffic (fusion keeps intermediates in VMEM). When the implied
+        # memory floor exceeds the MEASURED step time, the hardware has
+        # already proven the bytes over-counted; the honest bound is then
+        # the compute floor + non-matmul (VPU/PRNG/gather) work.
+        "compute_floor_us_bf16": compute_floor * 1e6,
+        "compute_floor_us_f32": compute_floor * 4 * 1e6,
+        "memory_floor_us_upper_bound": memory_floor * 1e6,
+        "bytes_overcounted": bool(memory_floor > step_s),
+        "headroom_vs_f32_compute_floor_x": step_s / (compute_floor * 4),
     })
     return out
 

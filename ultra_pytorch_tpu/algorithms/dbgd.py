@@ -60,6 +60,17 @@ class DBGD(BaseAlgorithm):
             "grad_strategy": "sgd",
             "tau": 1.0,
             "ranker_num": 1,  # number of PERTURBED rankers (DBGD: 1)
+            # Candidate scoring base: "perturb" = current params + lr*noise
+            # (the DBGD/MGD papers and the original TF ULTRA); "fresh" =
+            # a freshly initialized model + lr*noise (what the reference's
+            # torch port actually does — ref dbgd.py:233-246 builds
+            # model_prime from scratch each step). "fresh" makes winner
+            # credit nearly independent of the noise direction, so updates
+            # stay tiny once the current ranker beats random — an
+            # accidentally-conservative variant that can edge out the
+            # paper algorithm on short noisy protocols (BASELINE.md MGD
+            # note).
+            "candidate_source": "perturb",
         }
 
     def __init__(self, *args, **kwargs):
@@ -172,8 +183,13 @@ class DBGD(BaseAlgorithm):
 
         score_list = [self.score_with_params(params, batch,
                                              is_training=False)]
-        for noise in noises:
-            cand = model_base.perturb(params, noise, lr)
+        fresh = self.hparams.get("candidate_source", "perturb") == "fresh"
+        fresh_keys = jax.random.split(jax.random.fold_in(k_noise, 17),
+                                      len(noises))
+        for noise, fk in zip(noises, fresh_keys):
+            base_params = (self.ranker.init(fk, self.ranker.feature_size)
+                           if fresh else params)
+            cand = model_base.perturb(base_params, noise, lr)
             score_list.append(self.score_with_params(cand, batch,
                                                      is_training=False))
 

@@ -71,11 +71,16 @@ def layer_norm_init(dim: int):
 
 def apply_linear(p, x, compute_dtype=None):
     """Dense layer; with a low-precision `compute_dtype` the matmul runs in
-    that dtype on the MXU with float32 accumulation."""
+    that dtype on the MXU (hardware-f32 accumulation) and the OUTPUT stays
+    in that dtype. Keeping activations — and therefore cotangents — in the
+    low dtype is what makes the BACKWARD dots low-precision too: an f32
+    cotangent against a bf16 weight is a mixed dot that XLA upcasts to a
+    full-rate f32 matmul, silently forfeiting ~all of bf16's gain (the r2
+    'bf16 is slower' measurement, BASELINE.md)."""
     if compute_dtype is not None:
-        y = jnp.dot(x.astype(compute_dtype), p["w"].astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
-        return y + p["b"]
+        return (jnp.dot(x.astype(compute_dtype),
+                        p["w"].astype(compute_dtype))
+                + p["b"].astype(compute_dtype))
     return x @ p["w"] + p["b"]
 
 
@@ -84,9 +89,18 @@ def resolve_compute_dtype(name: str):
 
 
 def apply_layer_norm(p, x, eps: float = 1e-5):
-    mean = x.mean(-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    """LayerNorm with float32 statistics (mean/variance of a bf16 input
+    would lose ~3 decimal digits); output in the input's dtype. Variance
+    via E[x^2]-E[x]^2: one traversal of the (large) input instead of two —
+    the train step is VPU-bound, not MXU-bound (BASELINE.md roofline), so
+    elementwise passes over [B*L, F] are the cost that matters; the
+    cancellation risk is benign at LTR feature scales (|x| ~ 1)."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = (x32 * x32).mean(-1, keepdims=True) - mean * mean
+    var = jnp.maximum(var, 0.0)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
 
 
 # -- DBGD-family noise utilities ------------------------------------------

@@ -59,7 +59,10 @@ class DNN(base.BaseRanker):
                                    activation=act, use_norm=use_norm)
         cdtype = base.resolve_compute_dtype(
             self.hparams.get("compute_dtype", "float32"))
-        x = features
+        # Mixed precision: activations (and so backward cotangents) stay in
+        # cdtype through the whole chain; LayerNorm stats are f32 inside
+        # apply_layer_norm; scores leave in f32 for losses/metrics.
+        x = features if cdtype is None else features.astype(cdtype)
         n_layers = len(params["layers"])
         for j, layer in enumerate(params["layers"]):
             if use_norm:
@@ -67,4 +70,4 @@ class DNN(base.BaseRanker):
             x = base.apply_linear(layer["linear"], x, cdtype)
             if j != n_layers - 1:
                 x = act(x)
-        return jnp.squeeze(x, -1)
+        return jnp.squeeze(x, -1).astype(jnp.float32)
