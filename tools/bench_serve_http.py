@@ -112,6 +112,7 @@ def bench(scorer, clients, requests, queries, list_size, batch_requests):
         flat, wall, errors = drive(base, payload, clients, requests)
         n_req = len(flat)
         out = {
+            "error_samples": sorted(set(errors))[:3],
             "mode": "micro_batched" if batch_requests else "lock_serialized",
             "clients": clients,
             "requests_total": clients * requests,

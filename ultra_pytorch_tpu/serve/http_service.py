@@ -122,7 +122,13 @@ def make_server(scorer: Scorer, host: str = "127.0.0.1",
                            for i, n in enumerate(n_valid)],
             })
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5; a concurrent client
+        # burst beyond it gets kernel connection resets before the handler
+        # ever runs (observed at 16 clients, tools/bench_serve_http.py).
+        request_queue_size = 128
+
+    return Server((host, port), Handler)
 
 
 def serve(scorer: Scorer, host: str = "127.0.0.1", port: int = 8000,
