@@ -125,11 +125,25 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
     train = data_utils.read_data(data_dir + "/", "train", None)
     valid = data_utils.read_data(data_dir + "/", "valid", None)
     max_candidate = max(train.rank_list_size, valid.rank_list_size)
+    ranker = os.environ.get("ULTRA_CONV_RANKER", "DNN")
+    if ranker not in ("DNN", "Linear"):
+        # Eighth shim: SetRank is commented out of the reference's
+        # ultra/ranking_model/__init__.py (:8), so find_class — and with
+        # it the reference's own dla_SetRank_exp_settings.json — crashes
+        # with "Class SetRank cannot be found" out of the box. Import the
+        # module file and graft the class attribute onto the package.
+        import importlib
+
+        import ultra.ranking_model as _rm
+        if not hasattr(_rm, ranker):
+            _mod = importlib.import_module(f"ultra.ranking_model.{ranker}")
+            setattr(_rm, ranker, getattr(_mod, ranker))
     exp_settings = {
         "train_input_feed": "ultra.input_layer.ClickSimulationFeed",
         "train_input_hparams": "",
-        "ranking_model": "ultra.ranking_model.DNN",
-        "ranking_model_hparams": "hidden_layer_sizes=[512, 256, 128]",
+        "ranking_model": f"ultra.ranking_model.{ranker}",
+        "ranking_model_hparams": ("hidden_layer_sizes=[512, 256, 128]"
+                                  if ranker == "DNN" else ""),
         "learning_algorithm": f"ultra.learning_algorithm.{ALGOS[algo]}",
         "learning_algorithm_hparams": "",
         "metrics": ["ndcg", "mrr"],
@@ -304,11 +318,13 @@ def run_ours(data_dir, steps, algo="DLA"):
             f"click_model_json={repo}/example/ClickModel/pbm_0.1_1.0_4_1.0.json",
         "valid_input_feed": "DirectLabelFeed",
         "valid_input_hparams": "",
-        "ranking_model": "DNN",
+        "ranking_model": os.environ.get("ULTRA_CONV_RANKER", "DNN"),
         # ULTRA_CONV_RANKER_EXTRA=",compute_dtype=bfloat16" measures the
         # bf16 convergence delta on the same protocol (BASELINE.md).
-        "ranking_model_hparams": "hidden_layer_sizes=[512, 256, 128]"
-            + os.environ.get("ULTRA_CONV_RANKER_EXTRA", ""),
+        "ranking_model_hparams": (
+            ("hidden_layer_sizes=[512, 256, 128]"
+             if os.environ.get("ULTRA_CONV_RANKER", "DNN") == "DNN" else "")
+            + os.environ.get("ULTRA_CONV_RANKER_EXTRA", "")),
         "learning_algorithm": algo,
         "learning_algorithm_hparams": algo_hparams,
         "metrics": ["ndcg", "mrr"],
