@@ -37,6 +37,15 @@ if os.environ.get("ULTRA_PLATFORM"):
 # Must run before any backend initialization. On TPU pods JAX normally
 # auto-detects all three; the env vars cover CPU/manual launches.
 if os.environ.get("ULTRA_COORDINATOR"):
+    _missing = [v for v in ("ULTRA_NUM_PROCESSES", "ULTRA_PROCESS_ID")
+                if v not in os.environ]
+    if _missing:
+        raise SystemExit(
+            "ULTRA_COORDINATOR is set but %s %s missing: multi-host launch "
+            "needs all of ULTRA_COORDINATOR, ULTRA_NUM_PROCESSES and "
+            "ULTRA_PROCESS_ID (see tools/run_multihost.py). On TPU pods, "
+            "unset ULTRA_COORDINATOR to let jax.distributed auto-detect."
+            % (" and ".join(_missing), "is" if len(_missing) == 1 else "are"))
     jax.distributed.initialize(
         coordinator_address=os.environ["ULTRA_COORDINATOR"],
         num_processes=int(os.environ["ULTRA_NUM_PROCESSES"]),

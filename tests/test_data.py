@@ -51,6 +51,26 @@ def test_pad_and_to_device(toy_data_dir):
     assert np.abs(f * (1 - m)).sum() == 0.0
 
 
+def test_pad_heads(toy_data_dir):
+    """pad(pad_tails=False) prepends the -1 sentinels (ref
+    data_utils.py:476-498 head-padding mode)."""
+    ds = data_lib.read_data(toy_data_dir, "valid")
+    orig = ds.rank_list_size
+    lists_before = ds.initial_list.copy()
+    labels_before = ds.labels.copy()
+    ds.pad(orig + 3, pad_tails=False)
+    assert ds.initial_list.shape[1] == orig + 3
+    assert (ds.initial_list[:, :3] == -1).all()
+    np.testing.assert_array_equal(ds.initial_list[:, 3:], lists_before)
+    assert (ds.labels[:, :3] == 0).all()
+    np.testing.assert_array_equal(ds.labels[:, 3:], labels_before)
+    # device export keeps head pads masked out
+    dev = ds.to_device()
+    batch = dev.gather(np.arange(2))
+    m = np.asarray(batch["mask"])
+    assert m[:, :3].sum() == 0
+
+
 def test_gather_topk(toy_data_dir):
     ds = data_lib.read_data(toy_data_dir, "train")
     dev = ds.to_device()

@@ -51,10 +51,21 @@ def test_two_process_dp_end_to_end(tmp_path):
     assert (tmp_path / "out" / "test.ranklist").is_file()
 
 
-def test_stripes_are_shape_equal_and_cover():
-    """shard_queries_for_host produces shape-equal stripes whose union
-    covers every query (wrap-padding may duplicate a few on the tail
-    host), with feature tables compacted to referenced rows + zero pad."""
+import pytest
+
+
+@pytest.mark.parametrize("n_queries,n_hosts", [
+    (13, 3),   # remainder 1: tail stripe wraps into the global range
+    (13, 4),   # remainder 1 with qh=4: old wrap-pad left a short stripe
+    (9, 8),    # qh*h >= Q for trailing hosts: old code made EMPTY stripes
+    (12, 4),   # exact division
+])
+def test_stripes_are_shape_equal_and_cover(n_queries, n_hosts):
+    """shard_queries_for_host produces shape-equal NON-EMPTY stripes whose
+    union covers every query (index wrap may duplicate a few on trailing
+    hosts), with feature tables compacted to referenced rows + zero pad.
+    The 13/4 and 9/8 cases are the advisor-found regressions: the old
+    wrap-pad could emit short or empty stripes."""
     import numpy as np
 
     from tools.make_toy_data import main as make_main
@@ -64,14 +75,15 @@ def test_stripes_are_shape_equal_and_cover():
     from ultra_pytorch_tpu.parallel import shard_queries_for_host
 
     with tempfile.TemporaryDirectory() as td:
-        make_main([td, "--queries", "13", "--features", "24"])
+        make_main([td, "--queries", str(n_queries), "--features", "24"])
         full = data_lib.read_data(td, "train", None)
-        stripes = [shard_queries_for_host(full, host_id=h, num_hosts=3)
-                   for h in range(3)]
+        stripes = [shard_queries_for_host(full, host_id=h,
+                                          num_hosts=n_hosts)
+                   for h in range(n_hosts)]
         shapes = [(s.num_queries, s.features.shape, s.initial_list.shape)
                   for s in stripes]
         assert all(sh == shapes[0] for sh in shapes), shapes
-        assert shapes[0][0] == 5  # ceil(13/3)
+        assert shapes[0][0] == -(-n_queries // n_hosts)  # exactly ceil(Q/H)
         covered = set()
         for s in stripes:
             covered.update(s.qids)

@@ -129,9 +129,19 @@ class BaseAlgorithm:
                                  batch.get("mask"), is_training=False)
 
     def score_with_params(self, params, batch: Dict[str, jax.Array],
-                          is_training: bool = True) -> jax.Array:
+                          is_training: bool = True,
+                          rng: Optional[jax.Array] = None) -> jax.Array:
+        """Training-mode scoring. `rng` enables the ranker's stochastic
+        regularization (SetRank dropout); rankers with none ignore it."""
         return self.ranker.apply(params, batch["features"],
-                                 batch.get("mask"), is_training=is_training)
+                                 batch.get("mask"), rng=rng,
+                                 is_training=is_training)
+
+    def dropout_rng(self, rng: jax.Array) -> jax.Array:
+        """Per-shard key for training-time ranker stochasticity, derived by
+        folding a fixed tag into the step rng so callers keep their
+        existing split structure unchanged."""
+        return self.per_shard_rng(jax.random.fold_in(rng, 0x5E7A))
 
     def validation_metrics(self, state: TrainState,
                            batch: Dict[str, jax.Array],

@@ -17,11 +17,15 @@ Joachims ICML'09). One fused train step:
     (ref ``compute_gradient`` ``:196-222``), here a pure pytree
     ``grad = mean(winner_share) * noise`` fed to the SGD/Adagrad update.
 
-Documented divergence: the reference's perturbed candidate is a FRESH
-randomly initialized model plus noise (``create_new_output_list``
-``:233-246`` builds ``model_prime`` from scratch — a porting artifact);
-here the candidate is the current parameters plus scaled noise, the
-algorithm the paper (and the original TF ULTRA) defines.
+Documented divergence, selectable via ``candidate_source``: the
+reference's perturbed candidate is a FRESH randomly initialized model
+plus noise (``create_new_output_list`` ``:233-246`` builds
+``model_prime`` from scratch — a porting artifact). The default here
+(``candidate_source=perturb``) uses the current parameters plus scaled
+noise, the algorithm the paper (and the original TF ULTRA) defines;
+``candidate_source=fresh`` replicates the reference torch port's
+from-scratch candidate (measured equivalent on the convergence protocol,
+BASELINE.md MGD note).
 """
 
 from __future__ import annotations

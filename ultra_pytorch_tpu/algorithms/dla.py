@@ -111,8 +111,10 @@ class DLA(BaseAlgorithm):
         mask = batch.get("mask")
         B = labels.shape[0]
 
+        k_drop = self.dropout_rng(rng)
+
         def loss_of(params, prop_params):
-            scores = self.score_with_params(params, batch)
+            scores = self.score_with_params(params, batch, rng=k_drop)
             prop_logits = jnp.broadcast_to(
                 self._propensity_logits(prop_params)[None, :],
                 labels.shape)

@@ -60,8 +60,10 @@ class IPWrank(BaseAlgorithm):
         clicks = batch["labels"]
         pw = self.propensity_estimator.weights(clicks)
 
+        k_drop = self.dropout_rng(rng)
+
         def loss_of(params):
-            scores = self.score_with_params(params, batch)
+            scores = self.score_with_params(params, batch, rng=k_drop)
             loss = self.loss_fn(scores, clicks, pw, mask=batch.get("mask"))
             return loss + self.l2_penalty(params)
 

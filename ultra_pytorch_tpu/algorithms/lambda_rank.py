@@ -87,8 +87,10 @@ class LambdaRank(BaseAlgorithm):
         t_plus = state.aux["t_plus"]
         t_minus = state.aux["t_minus"]
 
+        k_drop = self.dropout_rng(rng)
+
         def loss_of(params):
-            scores = self.score_with_params(params, batch)
+            scores = self.score_with_params(params, batch, rng=k_drop)
             p_ij, std_p_ij, delta = self._pair_matrices(scores, clicks)
             # BCE-with-logits applied to p_ij (reference quirk, ref :128).
             x, z = p_ij, std_p_ij

@@ -23,9 +23,10 @@ class NaiveAlgorithm(BaseAlgorithm):
 
     def train_step(self, state: TrainState, batch, rng):
         batch = self.train_slice(batch)
+        k_drop = self.dropout_rng(rng)
 
         def loss_of(params):
-            scores = self.score_with_params(params, batch)
+            scores = self.score_with_params(params, batch, rng=k_drop)
             loss = self.loss_fn(scores, batch["labels"],
                                 mask=batch.get("mask"))
             return loss + self.l2_penalty(params)

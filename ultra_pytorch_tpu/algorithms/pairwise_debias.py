@@ -71,8 +71,10 @@ class PairDebias(BaseAlgorithm):
         L = clicks.shape[1]
         off_diag = 1.0 - jnp.eye(L)
 
+        k_drop = self.dropout_rng(rng)
+
         def loss_of(params):
-            scores = self.score_with_params(params, batch)
+            scores = self.score_with_params(params, batch, rng=k_drop)
             pair_loss = self._pair_loss_matrix(scores, clicks, mask) * off_diag
             inv = 1.0 / (t_plus[:, None] * t_minus[None, :])
             loss = jnp.sum(pair_loss * inv)

@@ -105,8 +105,11 @@ class PDGD(BaseAlgorithm):
         weights = jax.lax.stop_gradient(
             pdgd_pair_weights(scores0, labels_full, mask_full, L, tau))
 
+        k_drop = self.dropout_rng(rng)
+
         def loss_of(params):
-            scores = self.score_with_params(params, batch)[:, :L]
+            scores = self.score_with_params(params, batch,
+                                           rng=k_drop)[:, :L]
             s_l = scores[:, :, None]
             s_k = scores[:, None, :]
             pair_term = -jax.nn.sigmoid(s_l - s_k)  # == -e^l/(e^l + e^k)

@@ -65,8 +65,10 @@ class PRSrank(LambdaRank):
         pw = _safe_div(jnp.ones_like(ipw), ipw)
         triu = jnp.triu(jnp.ones((L, L)), k=1)[None]
 
+        k_drop = self.dropout_rng(rng)
+
         def loss_of(params):
-            scores = self.score_with_params(params, batch)
+            scores = self.score_with_params(params, batch, rng=k_drop)
             order = jnp.argsort(-scores, axis=1, stable=True)
             p_ij, std_p_ij, delta = self._pair_matrices(scores, clicks)
             ipw_sorted = jnp.take_along_axis(ipw, order, axis=1)

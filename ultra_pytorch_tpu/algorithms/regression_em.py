@@ -65,8 +65,10 @@ class RegressionEM(BaseAlgorithm):
         u = jax.random.uniform(self.per_shard_rng(rng), p_r1.shape)
         ranker_labels = jnp.ceil(p_r1 - u)
 
+        k_drop = self.dropout_rng(rng)
+
         def loss_of(params):
-            scores = self.score_with_params(params, batch)
+            scores = self.score_with_params(params, batch, rng=k_drop)
             x, z = scores, ranker_labels
             bce = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
             if mask is not None:

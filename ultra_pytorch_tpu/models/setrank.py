@@ -46,7 +46,10 @@ class SetRank(base.BaseRanker):
             "num_heads": 8,
             "num_layers": 2,
             "diff": 64,        # dff; keeps the reference's hparam name
-            "rate": 0.0,       # dropout rate
+            # Dropout rate, applied at the reference's three sites
+            # (SetRank.py:103-147): after the input embedding and after
+            # each layer's attention / FFN sublayer outputs (pre-residual).
+            "rate": 0.0,
         }
 
     def init(self, rng: jax.Array, feature_size: int):
@@ -93,17 +96,30 @@ class SetRank(base.BaseRanker):
               mask: Optional[jax.Array] = None, *,
               rng=None, is_training: bool = False) -> jax.Array:
         eps = 1e-6
+        rate = float(self.hparams.rate)
         attn_mask = None
         if mask is not None:
             # [B, 1, 1, L]: -1e9 on padded keys.
             attn_mask = (1.0 - mask)[:, None, None, :] * -1e9
 
+        drop_on = is_training and rate > 0.0
+        if drop_on and rng is None:
+            raise ValueError(
+                "SetRank rate>0 needs a training rng (pass rng= through "
+                "apply; the algorithm layer threads one automatically)")
+        n_drop = 1 + 2 * len(params["layers"])
+        keys = (iter(jax.random.split(rng, n_drop)) if drop_on
+                else iter([None] * n_drop))
+
         x = base.apply_layer_norm(params["input_norm"], features, eps)
         x = _ffn_apply(params["input_embed"], x)
+        x = base.dropout(next(keys), x, rate, is_training)
         for layer in params["layers"]:
             attn = self._attention(layer, x, attn_mask)
+            attn = base.dropout(next(keys), attn, rate, is_training)
             x = base.apply_layer_norm(layer["ln1"], x + attn, eps)
             ffn = _ffn_apply(layer["ffn"], x)
+            ffn = base.dropout(next(keys), ffn, rate, is_training)
             x = base.apply_layer_norm(layer["ln2"], x + ffn, eps)
         scores = _ffn_apply(params["output"], x)          # [B, L, 1]
         return jnp.squeeze(scores, -1)

@@ -73,9 +73,10 @@ def shard_queries_for_host(dataset, host_id: Optional[int] = None,
 
     Every host's stripe has IDENTICAL array shapes (required to assemble
     the stripes into one global jax.Array, see `host_stacked_dataset`):
-    query counts are equalized to ceil(Q/H) by wrap-repeating a host's own
-    leading queries (a slight duplicate-sampling bias on the last host
-    when H does not divide Q), and feature tables are zero-padded to the
+    query counts are equalized to exactly ceil(Q/H) by wrapping stripe
+    indices into the global query range (a slight duplicate-sampling bias
+    on trailing hosts when H does not divide Q; never an empty or
+    short stripe), and feature tables are zero-padded to the
     largest per-stripe row count (every host loaded the full dataset
     before striping, so the global maximum is computable locally without
     communication; padding rows are never referenced by any doc index).
@@ -96,10 +97,12 @@ def shard_queries_for_host(dataset, host_id: Optional[int] = None,
     qh = -(-q // num_hosts)  # ceil
 
     def stripe_sel(h: int) -> np.ndarray:
-        sel = np.arange(h * qh, min((h + 1) * qh, q))
-        if sel.size < qh:  # wrap-pad from this host's own stripe
-            sel = np.concatenate([sel, sel[: qh - sel.size]])
-        return sel
+        # Exactly qh queries per host, ALWAYS: indices wrap into the global
+        # query range, so remainders (Q=13,H=4 -> [4,4,4,4] with host 3
+        # re-sampling queries 12,0,1,2) and even qh*h >= Q (Q=9,H=8) yield
+        # shape-equal, non-empty stripes — host_stacked_dataset requires
+        # identical per-host array shapes to assemble one global jax.Array.
+        return np.arange(h * qh, (h + 1) * qh) % q
 
     # Global max of per-stripe referenced-row counts (computable on every
     # host identically — all hosts hold the full initial_list here).

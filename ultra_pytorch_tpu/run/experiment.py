@@ -52,7 +52,8 @@ class Experiment:
                  data_format: str = "ULTRA", seed: int = 0,
                  rank_cut: Optional[int] = None,
                  dp: Optional[int] = None,
-                 split_prefixes: Optional[Dict[str, str]] = None):
+                 split_prefixes: Optional[Dict[str, str]] = None,
+                 force_host_stacked: bool = False):
         """Args:
           split_prefixes: optional {split: file prefix} overrides (the
             reference's --train/valid/test_data_prefix flags,
@@ -63,6 +64,11 @@ class Experiment:
             (raises if batch_size % k != 0). The reference has no
             distributed mode at all (SURVEY.md §2.10) — this subsystem is
             new, built on jax.sharding.Mesh + shard_map (parallel/mesh.py).
+          force_host_stacked: route the train split through the multi-host
+            data path (host stripe -> host_stacked_dataset global array ->
+            in-shard unwrap) even in a single process — used by the
+            multichip dryrun so the host-stacked array plumbing is
+            validated without a real multi-process launch.
         """
         self.exp_settings = exp_settings
         self.data_dir = data_dir
@@ -76,8 +82,10 @@ class Experiment:
         if isinstance(dp, str):
             dp = None if dp == "auto" else 0 if dp == "off" else int(dp)
         self.dp = dp
+        self.force_host_stacked = force_host_stacked
         self.mesh = None
         self._compiled = {}
+        self._host_stacked = False
 
     def _resolve_mesh(self):
         """Decide the DP mesh per the `dp` policy (see __init__)."""
@@ -139,7 +147,9 @@ class Experiment:
         self.algorithm = create_algorithm(
             self.exp_settings, train_like.feature_size, self.max_label)
 
-        multihost = jax.process_count() > 1 and self.mesh is not None
+        multihost = ((jax.process_count() > 1 or self.force_host_stacked)
+                     and self.mesh is not None)
+        self._host_stacked = multihost
         self.device_data = {}
         for s, d in self.datasets.items():
             if multihost and s == "train":
@@ -256,7 +266,8 @@ class Experiment:
             if self.mesh is not None:
                 from ultra_pytorch_tpu.parallel import make_dp_train_step
                 self._compiled["train_step"] = make_dp_train_step(
-                    alg, feed, self.mesh)
+                    alg, feed, self.mesh,
+                    host_sharded_data=self._host_stacked)
             else:
                 # The dataset is an explicit jit ARGUMENT (DeviceDataset is
                 # a pytree): closing over it would embed the feature table
@@ -281,7 +292,8 @@ class Experiment:
             alg = self.algorithm
             if self.mesh is not None:
                 from ultra_pytorch_tpu.parallel import make_dp_train_step
-                dp = make_dp_train_step(alg, feed, self.mesh, window=window)
+                dp = make_dp_train_step(alg, feed, self.mesh, window=window,
+                                        host_sharded_data=self._host_stacked)
 
                 def dp_multi(state, rng, data):
                     rng, sub = jax.random.split(rng)

@@ -57,6 +57,7 @@ class MicroBatcher:
         self.max_delay_s = max_delay_s
         self.submit_timeout_s = submit_timeout_s
         self._queue: List[_Pending] = []
+        self._inflight: List[_Pending] = []  # group the worker is serving
         self._cv = threading.Condition()
         self._closed = False
         self.device_calls = 0  # statistics (also used by tests)
@@ -102,14 +103,17 @@ class MicroBatcher:
         self._worker.join(timeout=5)
         if self._worker.is_alive():
             # Worker is wedged (e.g. a hung device call): fail any items
-            # still queued so their callers wake instead of hanging until
-            # their own submit timeout.
+            # still queued AND the group already popped into the wedged
+            # device call, so every caller wakes instead of blocking for
+            # the full submit timeout.
             with self._cv:
-                pending, self._queue = self._queue, []
+                pending = self._queue + self._inflight
+                self._queue = []
             for p in pending:
-                p.error = RuntimeError("MicroBatcher closed before serving "
-                                       "this request")
-                p.event.set()
+                if not p.event.is_set():
+                    p.error = RuntimeError(
+                        "MicroBatcher closed before serving this request")
+                    p.event.set()
 
     # -- worker side ------------------------------------------------------
     def _take_group(self) -> Optional[List[_Pending]]:
@@ -131,6 +135,7 @@ class MicroBatcher:
                     break
                 group.append(self._queue.pop(0))
                 total += len(nxt.features)
+            self._inflight = group  # visible to close() while we serve it
         return group
 
     def _run(self) -> None:
@@ -168,3 +173,5 @@ class MicroBatcher:
             finally:
                 for p in group:
                     p.event.set()
+                with self._cv:
+                    self._inflight = []

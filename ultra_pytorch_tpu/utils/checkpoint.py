@@ -55,9 +55,7 @@ def load_checkpoint(path: str, template: Any = None) -> Tuple[Any, dict]:
     Args:
       template: a pytree with the SAME structure as the saved one (e.g. the
         output of ``algorithm.init_state`` plus the data rng) — its treedef
-        is used to unflatten the stored leaves. Required for checkpoints in
-        the current format; legacy checkpoints with a pickled ``.tree``
-        sidecar are still readable without one.
+        is used to unflatten the stored leaves. Required.
     """
     npz_path = path + ".npz"
     data = np.load(npz_path)
@@ -82,13 +80,10 @@ def load_checkpoint(path: str, template: Any = None) -> Tuple[Any, dict]:
                     f"template shape {tpl_shape}")
         return (jax.tree_util.tree_unflatten(treedef, leaves),
                 meta.get("metadata", {}))
-    # Legacy format (round-1): pickled treedef sidecar.
-    import pickle
-    with open(path + ".tree", "rb") as fin:
-        legacy = pickle.load(fin)
-    leaves = [data[f"leaf_{i}"] for i in range(legacy["n"])]
-    tree = jax.tree_util.tree_unflatten(legacy["treedef"], leaves)
-    return tree, legacy.get("metadata", {})
+    raise ValueError(
+        f"checkpoint {npz_path} has no {_META_KEY!r} entry — not a "
+        "checkpoint this framework wrote (the pre-release pickle-sidecar "
+        "format is no longer readable; no pickle is ever loaded)")
 
 
 def read_metadata(path: str) -> dict:
