@@ -221,3 +221,76 @@ def test_restore_with_mismatched_prng_is_clear_error(toy_data_dir, tmp_path):
             exp2.restore()
     finally:
         jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def test_compact_resampling_matches_rounds_distribution(toy_data_dir,
+                                                        click_model_json):
+    """resample_strategy=compact (overdrawn pool + stable compaction) must
+    produce the same rejection distribution as the per-slot rounds
+    strategy: every kept slot clicked, and the per-query frequency of the
+    two strategies agrees within sampling noise."""
+    ds = data_lib.read_data(toy_data_dir, "train", None)
+    ds.pad(ds.rank_list_size)
+    dev = ds.to_device()
+    s = _settings(click_model_json)
+    s["max_candidate_num"] = ds.rank_list_size
+    alg = create_algorithm(s, ds.feature_size, ds.max_label)
+    state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
+
+    valid_frac = {}
+    click_depth = {}
+    for strategy in ("compact", "rounds"):
+        feed = ClickSimulationFeed(
+            alg, 64,
+            f"click_model_json={click_model_json},"
+            f"resample_strategy={strategy}", dev)
+        n_valid = n_total = 0
+        depth_sum = depth_n = 0.0
+        for i in range(40):
+            b = feed.train_batch(jax.random.PRNGKey(1000 + i), state, dev)
+            valid = np.asarray(b["mask"]).max(axis=1) > 0
+            # every kept (non-masked) slot must actually contain a click
+            clicks = np.asarray(b["labels"])
+            clicked = clicks.sum(axis=1) > 0
+            assert (clicked >= valid).all()
+            n_valid += int(valid.sum())
+            n_total += valid.size
+            # mean clicked position over kept slots — a distribution
+            # fingerprint that would move if compaction biased the samples
+            pos = np.argmax(clicks[valid], axis=1)
+            depth_sum += pos.sum()
+            depth_n += len(pos)
+        valid_frac[strategy] = n_valid / n_total
+        click_depth[strategy] = depth_sum / depth_n
+    # Both strategies fill nearly every slot at this click rate (the toy
+    # per-draw click probability is ~0.4: rounds fills 1-(1-p)^9 ~= 0.99,
+    # compact Binom(4B, p) >= B with prob ~1).
+    assert valid_frac["compact"] > 0.97
+    assert valid_frac["rounds"] > 0.97
+    # Same first-click-depth distribution within sampling noise.
+    assert abs(click_depth["compact"] - click_depth["rounds"]) < 0.15
+
+
+def test_compact_resampling_masks_unfilled_slots(toy_data_dir, tmp_path):
+    """With a click model that almost never clicks, compact must mask the
+    slots it could not fill instead of feeding clickless lists."""
+    from ultra_pytorch_tpu.sim.click_models import click_model_json_numpy
+    cm = click_model_json_numpy("pbm", 0.0, 0.001, 4, 1.0)
+    p = tmp_path / "rare.json"
+    p.write_text(json.dumps(cm))
+    ds = data_lib.read_data(toy_data_dir, "train", None)
+    ds.pad(ds.rank_list_size)
+    dev = ds.to_device()
+    s = _settings(str(p))
+    s["train_input_hparams"] = f"click_model_json={p}"
+    s["max_candidate_num"] = ds.rank_list_size
+    alg = create_algorithm(s, ds.feature_size, ds.max_label)
+    state = alg.init_state(jax.random.PRNGKey(0), ds.feature_size)
+    feed = ClickSimulationFeed(
+        alg, 32, f"click_model_json={p},resample_strategy=compact", dev)
+    b = feed.train_batch(jax.random.PRNGKey(3), state, dev)
+    valid = np.asarray(b["mask"]).max(axis=1) > 0
+    clicked = np.asarray(b["labels"]).sum(axis=1) > 0
+    # unclicked slots are exactly the masked ones
+    np.testing.assert_array_equal(valid, clicked)
+    assert (~valid).sum() > 0  # the rare-click model really left gaps

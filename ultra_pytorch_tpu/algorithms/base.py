@@ -44,17 +44,50 @@ class TrainState:
     step: jax.Array             # scalar int32
 
 
+def adagrad_torch(learning_rate: float,
+                  initial_accumulator_value: float = 0.0,
+                  eps: float = 1e-10) -> optax.GradientTransformation:
+    """Adagrad with torch's exact denominator placement.
+
+    ``optax.adagrad`` computes ``g * rsqrt(accum + eps)`` (eps inside the
+    root) while ``torch.optim.Adagrad`` computes ``g / (sqrt(accum) + eps)``
+    (eps outside). The two differ materially for the FIRST steps of
+    small-gradient parameters: at ``accum = g^2`` torch's update is a full
+    ``±lr`` regardless of |g|, while eps-inside attenuates anything with
+    ``|g| < sqrt(eps)``. Adagrad's accumulator freezes those early-step
+    differences into the whole trajectory, which showed up as an at-scale
+    quality gap for the prs-weighted loss (BASELINE.md PRSrank note); this
+    transform makes the update rule bit-compatible with the reference's
+    optimizer (ref ``prs_rank.py:91``, torch ``_single_tensor_adagrad``)."""
+
+    def init_fn(params):
+        return optax.ScaleByRssState(
+            sum_of_squares=jax.tree.map(
+                lambda p: jnp.full_like(p, initial_accumulator_value),
+                params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        sum_of_squares = jax.tree.map(
+            lambda g, t: t + jnp.square(g), updates, state.sum_of_squares)
+        updates = jax.tree.map(
+            lambda g, t: -learning_rate * g / (jnp.sqrt(t) + eps),
+            updates, sum_of_squares)
+        return updates, optax.ScaleByRssState(sum_of_squares=sum_of_squares)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(grad_strategy: str, learning_rate: float,
                    max_gradient_norm: float) -> optax.GradientTransformation:
     """Optimizer select (ref per-algo ``grad_strategy`` 'ada'|'sgd', e.g.
-    ``dla.py:127-129``) with torch-matching Adagrad defaults
-    (initial_accumulator_value=0, eps=1e-10) and the reference's
-    clip-by-global-norm (ref ``base_algorithm.py:223-225``)."""
+    ``dla.py:127-129``) with torch-exact Adagrad (see :func:`adagrad_torch`)
+    and the reference's clip-by-global-norm
+    (ref ``base_algorithm.py:223-225``)."""
     if grad_strategy == "sgd":
         opt = optax.sgd(learning_rate)
     else:
-        opt = optax.adagrad(learning_rate, initial_accumulator_value=0.0,
-                            eps=1e-10)
+        opt = adagrad_torch(learning_rate)
     if max_gradient_norm and max_gradient_norm > 0:
         return optax.chain(optax.clip_by_global_norm(max_gradient_norm), opt)
     return opt

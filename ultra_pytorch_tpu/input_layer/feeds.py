@@ -145,7 +145,7 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
     """Offline click simulation on the fixed initial ranking
     (ref ``click_simulation_feed.py:24-294``)."""
 
-    RESAMPLE_ROUNDS = 8  # query redraw rounds for check_validation
+    RESAMPLE_ROUNDS = 8  # query redraw rounds for resample_strategy=rounds
 
     def default_hparams(self):
         return {
@@ -157,6 +157,20 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
             # (ops/pallas/click_sim.py); PBM only, see BASELINE.md for the
             # measured on/off table.
             "use_pallas_click": False,
+            # check_validation rejection sampling:
+            #   'compact' — ONE overdrawn candidate pool (B * overdraw
+            #     draws), keep the first B clicked candidates; exact
+            #     rejection-sampling distribution at ~overdraw/(1+ROUNDS)
+            #     of the simulation cost (see BASELINE.md r4 table);
+            #   'rounds'  — 1+RESAMPLE_ROUNDS fresh draws per slot, first
+            #     valid kept (the r2/r3 behavior).
+            "resample_strategy": "compact",
+            # Pool size multiple: fills B slots whenever the per-draw click
+            # probability p satisfies Binom(B*overdraw, p) >= B with high
+            # probability; 4 covers p >= ~0.3 at B=256 (the 'rounds'
+            # strategy fills a slot with prob 1-(1-p)^9 — comparable tail
+            # behavior at these rates, at 9/overdraw times the sim cost).
+            "resample_overdraw": 4.0,
         }
 
     def __init__(self, *args, check_validation: bool = True, **kwargs):
@@ -196,23 +210,46 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
         B = self.batch_size
         k0, rng = jax.random.split(rng)
         if self.check_validation and not self.hparams.oracle_mode:
-            # All resample rounds at once: draw (1 + RESAMPLE_ROUNDS)
-            # candidate (query, clicks) pairs per slot as ONE batched
-            # simulation and keep each slot's first clicked round — the
-            # same first-valid distribution as sequential redrawing, but a
-            # single fused op instead of R tiny dependent ones (~60us off
-            # the feed at the bench shape; tools/profile_step.py).
-            R = 1 + self.RESAMPLE_ROUNDS
-            qs_all = jax.random.randint(k0, (R, B), 0, Q)
-            clicks_flat, valid_flat = self._simulate_clicks(
-                model, rng, qs_all.reshape(-1), ds)
-            clicks_all = clicks_flat.reshape(R, B, -1)
-            valid_all = valid_flat.reshape(R, B)
-            first = jnp.argmax(valid_all, axis=0)    # first valid; 0 if none
-            pick = (first, jnp.arange(B))
-            qs = qs_all[pick]
-            clicks = clicks_all[pick]
-            valid = valid_all.any(axis=0)
+            if self.hparams.get("resample_strategy", "compact") == "compact":
+                # Rejection sampling via one overdrawn pool: draw
+                # C = B * overdraw iid (query, clicks) candidates in ONE
+                # batched simulation and keep the first B clicked ones
+                # (stable argsort on validity). Filtering iid draws on
+                # validity keeps the kept samples iid with the exact
+                # rejection distribution — the same distribution as the
+                # reference's redraw-until-click loop — at a fraction of
+                # the per-slot-rounds cost. Slots left without a clicked
+                # candidate (P(Binom(C, p_click) < B), vanishing at
+                # overdraw 2) are masked out of the loss like the rounds
+                # strategy's exhausted slots.
+                C = int(round(B * float(
+                    self.hparams.get("resample_overdraw", 2.0))))
+                qs_all = jax.random.randint(k0, (C,), 0, Q)
+                clicks_all, valid_all = self._simulate_clicks(
+                    model, rng, qs_all, ds)
+                pick = jnp.argsort(~valid_all, stable=True)[:B]
+                qs = qs_all[pick]
+                clicks = clicks_all[pick]
+                valid = valid_all[pick]
+            else:
+                # All resample rounds at once: draw (1 + RESAMPLE_ROUNDS)
+                # candidate (query, clicks) pairs per slot as ONE batched
+                # simulation and keep each slot's first clicked round — the
+                # same first-valid distribution as sequential redrawing,
+                # but a single fused op instead of R tiny dependent ones
+                # (~60us off the feed at the bench shape;
+                # tools/profile_step.py).
+                R = 1 + self.RESAMPLE_ROUNDS
+                qs_all = jax.random.randint(k0, (R, B), 0, Q)
+                clicks_flat, valid_flat = self._simulate_clicks(
+                    model, rng, qs_all.reshape(-1), ds)
+                clicks_all = clicks_flat.reshape(R, B, -1)
+                valid_all = valid_flat.reshape(R, B)
+                first = jnp.argmax(valid_all, axis=0)  # first valid; 0 if none
+                pick = (first, jnp.arange(B))
+                qs = qs_all[pick]
+                clicks = clicks_all[pick]
+                valid = valid_all.any(axis=0)
         else:
             qs = jax.random.randint(k0, (B,), 0, Q)
             clicks, valid = self._simulate_clicks(model, rng, qs, ds)
