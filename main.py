@@ -84,6 +84,10 @@ def parse_args(argv=None):
     p.add_argument("--dp", type=str, default="auto",
                    help="data parallelism: 'auto' (all devices when >1 and "
                         "batch_size divides), 'off', or a device count")
+    p.add_argument("--shard_data", action="store_true",
+                   help="shard the train feature table over the DP mesh "
+                        "(device i holds query stripe i + only its feature "
+                        "rows) — for tables too big to replicate per device")
     p.add_argument("--log_dir", type=str, default="",
                    help="TensorBoard/JSONL metric logs (default <model_dir>/logs)")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -114,6 +118,7 @@ def build_experiment(args, splits):
         seed=args.seed,
         rank_cut=args.max_list_cutoff if args.max_list_cutoff > 0 else None,
         dp=args.dp,  # policy string coerced by Experiment.__init__
+        shard_data=args.shard_data,
         split_prefixes={"train": args.train_data_prefix,
                         "valid": args.valid_data_prefix,
                         "test": args.test_data_prefix})

@@ -158,3 +158,24 @@ def test_use_pallas_click_hparam_falls_back_off_tpu(toy_data_dir):
     labels = batch["labels"]
     assert labels.shape[0] == 4
     assert ((labels == 0) | (labels == 1)).all()
+
+
+def test_fused_backward_accumulates_across_tiles(dnn_and_params):
+    """>1 grid step (rows > TILE_N) exercises the bwd kernel's cross-tile
+    parameter-gradient accumulation; also checks dx against XLA."""
+    dnn, params = dnn_and_params
+    x = jax.random.normal(jax.random.PRNGKey(7), (600, 24))  # 3 tiles
+    g_out = jax.random.normal(jax.random.PRNGKey(8), (600,))
+
+    def score_ref(params, x):
+        return dnn.apply(params, x[None])[0]
+
+    def score_fused(params, x):
+        return fused_mlp_score(params["layers"], x, interpret=True)
+
+    _, vjp_ref = jax.vjp(score_ref, params, x)
+    _, vjp_fused = jax.vjp(score_fused, params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(vjp_ref(g_out)),
+                    jax.tree_util.tree_leaves(vjp_fused(g_out))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -234,3 +234,78 @@ def test_dp_through_experiment_driver_path(toy_data_dir, click_model_json,
     exp1.train_steps(13)
     s_1 = exp1.validate("valid")
     assert abs(s_dp["ndcg_5"] - s_1["ndcg_5"]) < 0.2
+
+
+def test_device_sharded_dataset_shards_feature_table(toy):
+    """device_sharded_dataset: each device holds ~1/N of the feature rows
+    (its stripe's referenced rows + pad), not the full table."""
+    from ultra_pytorch_tpu.parallel import device_sharded_dataset
+
+    mesh = make_mesh(8)
+    dev = device_sharded_dataset(toy, mesh)
+    total_rows = toy.features.shape[0]
+    assert dev.features.shape[0] == 8
+    per_dev_rows = dev.features.shape[1]
+    # stripe tables are the max over stripes of referenced rows (+1 PAD);
+    # with 24 queries over 8 devices each stripe references ~3 queries'
+    # docs — far below the full table
+    assert per_dev_rows < total_rows * 0.6
+    for shard in dev.features.addressable_shards:
+        assert shard.data.shape == (1, per_dev_rows, toy.features.shape[1])
+
+
+def test_shard_data_through_experiment_driver(toy_data_dir,
+                                              click_model_json, tmp_path):
+    """--shard_data trains through the driver on the 8-device mesh with a
+    device-sharded feature table and sane validation quality."""
+    from ultra_pytorch_tpu.run.experiment import Experiment
+
+    settings = {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams": f"click_model_json={click_model_json}",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[16]",
+        "learning_algorithm": "DLA",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg"],
+        "metrics_topn": [5],
+        "objective_metric": "ndcg_5",
+        "selection_bias_cutoff": 5,
+    }
+    exp = Experiment(settings, toy_data_dir, str(tmp_path / "sh"),
+                     batch_size=16, dp=8, shard_data=True)
+    exp.setup()
+    assert exp.mesh is not None
+    # train split is device-stacked: leading per-device axis
+    assert exp.device_data["train"].features.shape[0] == 8
+    exp.init_state()
+    m = exp.train_steps(10)
+    assert np.isfinite(m["loss"])
+    for leaf in jax.tree_util.tree_leaves(exp.state):
+        assert _shards_identical(leaf)
+    s = exp.validate("valid")
+    assert s["ndcg_5"] > 0.4  # trained something sane on toy data
+
+
+def test_shard_data_requires_mesh(toy_data_dir, click_model_json, tmp_path):
+    from ultra_pytorch_tpu.run.experiment import Experiment
+
+    settings = {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams": f"click_model_json={click_model_json}",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[16]",
+        "learning_algorithm": "DLA",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg"],
+        "metrics_topn": [5],
+        "selection_bias_cutoff": 5,
+    }
+    exp = Experiment(settings, toy_data_dir, str(tmp_path / "e"),
+                     batch_size=16, dp=0, shard_data=True)
+    with pytest.raises(ValueError, match="shard_data"):
+        exp.setup()

@@ -9,10 +9,16 @@ the scores, versus one round-trip per layer when the matmuls are separate
 XLA ops.
 
 The public entry :func:`fused_mlp_score` is differentiable: the forward
-pass runs the Pallas kernel; the backward pass recomputes the (cheap) layer
-chain with plain jnp and reuses XLA's gradients, keeping correctness
-trivially in sync with the reference semantics. Use
-``interpret=True`` (automatic off-TPU) for CPU tests.
+pass runs the Pallas kernel; the backward pass is a SECOND fused kernel
+(VERDICT-r3 #5: the r2 measurement showed a lone forward ``pallas_call``
+loses to XLA because its fusion boundary splits the backward chain — so
+the boundary has to pay for itself by covering the backward too).
+``_bwd_kernel`` recomputes the layer chain per row tile in VMEM (no
+residual HBM round-trip: 21 MB of saved activations would cost ~50 us of
+HBM traffic at the bench shape, more than the recompute FLOPs) and
+accumulates every parameter gradient across the sequential TPU grid.
+Activations without a hand-written derivative fall back to the jnp/XLA
+recompute path. Use ``interpret=True`` (automatic off-TPU) for CPU tests.
 """
 
 from __future__ import annotations
@@ -125,8 +131,140 @@ def _fused_fwd(x, flat, n_layers, act, use_norm, interpret):
     return out, (x, flat)
 
 
+def _act_derivative(act):
+    """d(act)/dz for the activations the kernel supports; None otherwise.
+    (elu's derivative reuses the exp-based form — Mosaic has no expm1.)"""
+    if act is jax.nn.elu:
+        return lambda z: jnp.where(z > 0, 1.0, jnp.exp(jnp.minimum(z, 0.0)))
+    if act is jax.nn.relu:
+        return lambda z: (z > 0).astype(jnp.float32)
+    if act is jnp.tanh or act is jax.nn.tanh:
+        return lambda z: 1.0 - jnp.tanh(z) ** 2
+    if act is jax.nn.selu:
+        scale, alpha = 1.0507009873554805, 1.6732632423543772
+        return lambda z: scale * jnp.where(
+            z > 0, 1.0, alpha * jnp.exp(jnp.minimum(z, 0.0)))
+    return None
+
+
+def _bwd_kernel(n_layers, act, dact, use_norm, *refs):
+    """Fused backward: recompute the forward chain for this row tile in
+    VMEM, then backprop through it. Parameter-gradient outputs map every
+    grid step onto the SAME block (index_map (0, 0)) and accumulate across
+    the sequential TPU grid; dx streams out per tile."""
+    x_ref, g_ref = refs[0], refs[1]
+    nparams = 4 * n_layers
+    param_refs = refs[2:2 + nparams]
+    dx_ref = refs[2 + nparams]
+    grad_refs = refs[3 + nparams:]
+    i = pl.program_id(0)
+
+    flat = [r[:] for r in param_refs]
+    # -- forward recompute, stashing what backward needs
+    h = x_ref[:]
+    posts, nhats, rstds, zs = [], [], [], []
+    for j in range(n_layers):
+        scale, bias, w, b = flat[4 * j: 4 * j + 4]
+        if use_norm:
+            mean = h.mean(axis=-1, keepdims=True)
+            var = (h * h).mean(axis=-1, keepdims=True) - mean * mean
+            rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + _EPS)
+            nhat = (h - mean) * rstd
+            post = nhat * scale + bias
+        else:
+            rstd, nhat, post = None, None, h
+        z = jnp.dot(post, w, preferred_element_type=jnp.float32) + b
+        posts.append(post)
+        nhats.append(nhat)
+        rstds.append(rstd)
+        zs.append(z)
+        h = _tpu_safe_act(act)(z) if j != n_layers - 1 else z
+
+    # -- backward
+    dz = g_ref[:]                                    # [tile, 1]
+    dh = dz
+    for j in reversed(range(n_layers)):
+        scale, bias, w, b = flat[4 * j: 4 * j + 4]
+        dW = jnp.dot(posts[j].T, dz, preferred_element_type=jnp.float32)
+        db = jnp.sum(dz, axis=0, keepdims=True)
+        dpost = jnp.dot(dz, w.T, preferred_element_type=jnp.float32)
+        if use_norm:
+            nhat, rstd = nhats[j], rstds[j]
+            dscale = jnp.sum(dpost * nhat, axis=0, keepdims=True)
+            dbias = jnp.sum(dpost, axis=0, keepdims=True)
+            dnhat = dpost * scale
+            m1 = dnhat.mean(axis=-1, keepdims=True)
+            m2 = (dnhat * nhat).mean(axis=-1, keepdims=True)
+            dh = rstd * (dnhat - m1 - nhat * m2)
+        else:
+            dscale = jnp.zeros_like(flat[4 * j])
+            dbias = jnp.zeros_like(flat[4 * j + 1])
+            dh = dpost
+        g4 = grad_refs[4 * j: 4 * j + 4]
+        contrib = (dscale, dbias, dW, db)
+
+        @pl.when(i == 0)
+        def _init(g4=g4, contrib=contrib):
+            for ref, val in zip(g4, contrib):
+                ref[:] = val
+
+        @pl.when(i != 0)
+        def _accum(g4=g4, contrib=contrib):
+            for ref, val in zip(g4, contrib):
+                ref[:] = ref[:] + val
+
+        if j > 0:
+            dz = dh * dact(zs[j - 1])
+    dx_ref[:] = dh
+
+
+def _backward_pallas(x, g, flat, n_layers, act, dact, use_norm, interpret):
+    n, f = x.shape
+    n_pad = (-n) % TILE_N
+    if n_pad:
+        x = jnp.concatenate([x, jnp.zeros((n_pad, f), x.dtype)], axis=0)
+        # zero cotangent on pad rows -> zero gradient contribution
+        g = jnp.concatenate([g, jnp.zeros((n_pad,), g.dtype)], axis=0)
+    g2 = g.reshape(-1, 1).astype(jnp.float32)
+    grid = (x.shape[0] // TILE_N,)
+
+    in_specs = [
+        pl.BlockSpec((TILE_N, f), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for p in flat:
+        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_shapes = [jax.ShapeDtypeStruct((x.shape[0], f), jnp.float32)]
+    out_specs = [pl.BlockSpec((TILE_N, f), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    for p in flat:
+        out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_bwd_kernel, n_layers, act, dact, use_norm)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x.astype(jnp.float32), g2, *flat)
+    dx = outs[0][:n]
+    dflat = list(outs[1:])
+    return dx, dflat
+
+
 def _fused_bwd(n_layers, act, use_norm, interpret, residuals, g):
     x, flat = residuals
+    dact = _act_derivative(act)
+    if dact is not None:
+        return _backward_pallas(x, g, flat, n_layers, act, dact, use_norm,
+                                interpret)
 
     def ref_fn(x, flat):
         return _layer_chain(x, flat, n_layers, act, use_norm)[:, 0]

@@ -5,5 +5,6 @@ from ultra_pytorch_tpu.parallel.mesh import (  # noqa: F401
     shard_dataset,
     shard_queries_for_host,
     host_stacked_dataset,
+    device_sharded_dataset,
     make_dp_train_step,
 )

@@ -53,7 +53,8 @@ class Experiment:
                  rank_cut: Optional[int] = None,
                  dp: Optional[int] = None,
                  split_prefixes: Optional[Dict[str, str]] = None,
-                 force_host_stacked: bool = False):
+                 force_host_stacked: bool = False,
+                 shard_data: bool = False):
         """Args:
           split_prefixes: optional {split: file prefix} overrides (the
             reference's --train/valid/test_data_prefix flags,
@@ -69,6 +70,12 @@ class Experiment:
             in-shard unwrap) even in a single process — used by the
             multichip dryrun so the host-stacked array plumbing is
             validated without a real multi-process launch.
+          shard_data: shard the TRAIN feature table over the DP mesh
+            (device i holds query stripe i + only its referenced feature
+            rows, parallel/mesh.py device_sharded_dataset) so tables too
+            big to replicate per-device (full Istella ~9 GB on a 16 GB
+            v5e) still train; requires a DP mesh. Single-process only
+            (multi-host runs already stripe per host).
         """
         self.exp_settings = exp_settings
         self.data_dir = data_dir
@@ -83,6 +90,7 @@ class Experiment:
             dp = None if dp == "auto" else 0 if dp == "off" else int(dp)
         self.dp = dp
         self.force_host_stacked = force_host_stacked
+        self.shard_data = shard_data
         self.mesh = None
         self._compiled = {}
         self._host_stacked = False
@@ -149,9 +157,24 @@ class Experiment:
 
         multihost = ((jax.process_count() > 1 or self.force_host_stacked)
                      and self.mesh is not None)
-        self._host_stacked = multihost
+        shard_data = self.shard_data and self.mesh is not None
+        if self.shard_data and self.mesh is None:
+            raise ValueError("--shard_data requires a DP mesh (dp > 1)")
+        if shard_data and jax.process_count() > 1:
+            raise ValueError("--shard_data is single-process only "
+                             "(multi-host runs already stripe per host)")
+        # Both paths hand the train step a leading-device-axis global
+        # array that the shard body unwraps (host_sharded_data=True).
+        self._host_stacked = multihost or shard_data
         self.device_data = {}
         for s, d in self.datasets.items():
+            if s == "train" and shard_data:
+                # FEATURE-TABLE sharding: device i holds query stripe i +
+                # only its referenced feature rows (~1/N of the table per
+                # device; parallel/mesh.py device_sharded_dataset).
+                from ultra_pytorch_tpu.parallel import device_sharded_dataset
+                self.device_data[s] = device_sharded_dataset(d, self.mesh)
+                continue
             if multihost and s == "train":
                 # The train split is HOST-STRIPED (different per process);
                 # assemble the stripes into one global array with a leading
