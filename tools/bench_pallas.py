@@ -219,6 +219,9 @@ def part3_e2e(steps):
         ("all_on", ",use_pallas=true", "loss_func=fused_softmax_loss",
          ",use_pallas_click=true"),
         ("bf16", ",compute_dtype=bfloat16", "", ""),
+        # r2/r3 feed behavior (9 redraw rounds/slot) vs the r4 default
+        # rejection-compaction pool — quantifies the compact win.
+        ("rounds_resample", "", "", ",resample_strategy=rounds"),
     ]
     results = {}
     for name, r, a, f in combos:
