@@ -146,3 +146,37 @@ def test_perturb_roundtrip():
     # norm params unperturbed
     np.testing.assert_array_equal(np.asarray(params["norm"]["scale"]),
                                   np.asarray(p2["norm"]["scale"]))
+
+def test_dnn_fold_norm_affine_is_exact():
+    """fold_norm_affine is an exact reparametrization: scores and
+    parameter gradients match the unfused path to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ultra_pytorch_tpu.models.dnn import DNN
+
+    folded = DNN("hidden_layer_sizes=[32, 16]", 24)
+    plain = DNN("hidden_layer_sizes=[32, 16],fold_norm_affine=false", 24)
+    params = folded.init(jax.random.PRNGKey(0), 24)
+    # non-trivial norm affine so the fold actually matters
+    for layer in params["layers"]:
+        k = jax.random.PRNGKey(hash(str(layer["norm"]["scale"].shape)) % 100)
+        layer["norm"]["scale"] = 1.0 + 0.3 * jax.random.normal(
+            k, layer["norm"]["scale"].shape)
+        layer["norm"]["bias"] = 0.2 * jax.random.normal(
+            jax.random.fold_in(k, 1), layer["norm"]["bias"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 7, 24))
+
+    s_f = folded.apply(params, x)
+    s_p = plain.apply(params, x)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_p),
+                               rtol=2e-5, atol=2e-5)
+
+    t = jax.random.normal(jax.random.PRNGKey(3), (5, 7))
+    g_f = jax.grad(lambda p: jnp.sum((folded.apply(p, x) - t) ** 2))(params)
+    g_p = jax.grad(lambda p: jnp.sum((plain.apply(p, x) - t) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -31,6 +31,13 @@ class DNN(base.BaseRanker):
             # bfloat16 runs the matmuls on the MXU in half precision with
             # f32 accumulation; LayerNorm statistics stay in f32.
             "compute_dtype": "float32",
+            # Fold LayerNorm's affine (gamma, beta) into the next Linear:
+            # (xhat*g + b) @ W == xhat @ (g[:,None]*W) + (b@W + bias) —
+            # an EXACT reparametrization that trades two activation-sized
+            # elementwise passes per layer (fwd; one more bwd) for
+            # weight-sized ones. The step is VPU-bound (BASELINE.md
+            # roofline), so activation passes are the cost that matters.
+            "fold_norm_affine": True,
             # Fused Pallas kernel: whole layer chain per row tile in VMEM
             # (ops/pallas/mlp.py); falls back to interpret mode off-TPU.
             "use_pallas": False,
@@ -59,15 +66,35 @@ class DNN(base.BaseRanker):
                                    activation=act, use_norm=use_norm)
         cdtype = base.resolve_compute_dtype(
             self.hparams.get("compute_dtype", "float32"))
+        fold = use_norm and self.hparams.get("fold_norm_affine", True)
         # Mixed precision: activations (and so backward cotangents) stay in
         # cdtype through the whole chain; LayerNorm stats are f32 inside
         # apply_layer_norm; scores leave in f32 for losses/metrics.
         x = features if cdtype is None else features.astype(cdtype)
         n_layers = len(params["layers"])
         for j, layer in enumerate(params["layers"]):
-            if use_norm:
-                x = base.apply_layer_norm(layer["norm"], x)
-            x = base.apply_linear(layer["linear"], x, cdtype)
+            if fold:
+                # Normalize WITHOUT the affine; fold (gamma, beta) into
+                # the linear's weights instead (weight-sized work, done
+                # once per step, vs activation-sized work per example).
+                x32 = x.astype(jnp.float32)
+                mean = x32.mean(-1, keepdims=True)
+                var = (x32 * x32).mean(-1, keepdims=True) - mean * mean
+                xhat = ((x32 - mean)
+                        * jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5))
+                g, b0 = layer["norm"]["scale"], layer["norm"]["bias"]
+                w, b = layer["linear"]["w"], layer["linear"]["b"]
+                w_eff = w * g[:, None]
+                b_eff = b + b0 @ w
+                if cdtype is not None:
+                    x = jnp.dot(xhat.astype(cdtype), w_eff.astype(cdtype))
+                    x = x + b_eff.astype(cdtype)
+                else:
+                    x = jnp.dot(xhat, w_eff) + b_eff
+            else:
+                if use_norm:
+                    x = base.apply_layer_norm(layer["norm"], x)
+                x = base.apply_linear(layer["linear"], x, cdtype)
             if j != n_layers - 1:
                 x = act(x)
         return jnp.squeeze(x, -1).astype(jnp.float32)
