@@ -52,20 +52,41 @@ def make_bench_setup(batch=256, list_size=10, features=136,
 
 
 def make_run_chunk(alg, feed, chunk):
-    """The donated scan-window step: run_chunk(state, rng, data)."""
+    """The donated scan-window step: run_chunk(state, rng, data). Uses the
+    feed's hoisted window plan when available (feeds.py train_batch_plan)."""
     import jax
+    import jax.numpy as jnp
+
+    from ultra_pytorch_tpu.input_layer.feeds import BaseInputFeed
+
+    plan_capable = (type(feed).train_batch_plan
+                    is not BaseInputFeed.train_batch_plan)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(state, rng, data):
-        def body(carry, _):
-            state, rng = carry
-            rng, k_batch, k_train = jax.random.split(rng, 3)
-            batch = feed.train_batch(k_batch, state, data)
-            state, metrics = alg.train_step(state, batch, k_train)
-            return (state, rng), metrics["loss"]
+        if plan_capable:
+            rng, k_plan = jax.random.split(rng)
+            plan = feed.train_batch_plan(k_plan, state, data, chunk)
 
-        (state, rng), losses = jax.lax.scan(
-            body, (state, rng), None, length=chunk)
+            def body(carry, i):
+                state, rng = carry
+                rng, k_train = jax.random.split(rng)
+                batch = feed.batch_from_plan(plan, i, data)
+                state, metrics = alg.train_step(state, batch, k_train)
+                return (state, rng), metrics["loss"]
+
+            (state, rng), losses = jax.lax.scan(
+                body, (state, rng), jnp.arange(chunk))
+        else:
+            def body(carry, _):
+                state, rng = carry
+                rng, k_batch, k_train = jax.random.split(rng, 3)
+                batch = feed.train_batch(k_batch, state, data)
+                state, metrics = alg.train_step(state, batch, k_train)
+                return (state, rng), metrics["loss"]
+
+            (state, rng), losses = jax.lax.scan(
+                body, (state, rng), None, length=chunk)
         return state, rng, losses[-1]
 
     return run_chunk

@@ -82,6 +82,24 @@ class BaseInputFeed:
         the whole feature table as an HLO constant."""
         raise NotImplementedError
 
+    # -- window planning ---------------------------------------------------
+    def train_batch_plan(self, rng: jax.Array, state, dataset, n: int):
+        """Optionally precompute n steps of (query, label) draws as ONE
+        batched program, hoisted out of the per-step scan body.
+
+        Returns a pytree plan consumed by :meth:`batch_from_plan`, or None
+        when the feed cannot plan ahead (online feeds score with the
+        CURRENT ranker, which changes every step). Feeds that can plan
+        turn ~15 small sequential ops per scan step into one batched
+        op-set per window — per-op issue overhead is a real share of a
+        ~190us step (BASELINE.md r4). Feature gathers stay in the step
+        body (hoisting them would round-trip the window's [n,B,L,F]
+        features through HBM for no fusion benefit)."""
+        return None
+
+    def batch_from_plan(self, plan, i, dataset) -> Batch:
+        raise NotImplementedError
+
     # -- evaluation -------------------------------------------------------
     def eval_batches(self, rng: Optional[jax.Array] = None
                      ) -> Iterator[Tuple[Batch, int, int]]:
@@ -167,16 +185,59 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
             "resample_strategy": "compact",
             # Pool size multiple: fills B slots whenever the per-draw click
             # probability p satisfies Binom(B*overdraw, p) >= B with high
-            # probability; 4 covers p >= ~0.3 at B=256 (the 'rounds'
-            # strategy fills a slot with prob 1-(1-p)^9 — comparable tail
-            # behavior at these rates, at 9/overdraw times the sim cost).
-            "resample_overdraw": 4.0,
+            # probability. 0 (default) = AUTO: measure p once at feed init
+            # (one eager batched simulation over <=4096 queries) and size
+            # the pool to B + 4*sqrt(B) expected clicked candidates with a
+            # 3-sigma-lowered p estimate — typical click rates (~0.5-0.9)
+            # need only ~1.3-2x, and the pool size is the feed's dominant
+            # cost (BASELINE.md r4 feed table). Explicit values pin the
+            # multiple; capped at 9 (the 'rounds' strategy's total draws).
+            "resample_overdraw": 0.0,
         }
 
     def __init__(self, *args, check_validation: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
         self.check_validation = check_validation
         self._load_click_model()
+        self._p_click_lo = self._estimate_click_rate()
+
+    def _estimate_click_rate(self):
+        """One-time 3-sigma-lowered estimate of the per-draw probability
+        of a clicked list, used to auto-size the compact pool. Returns
+        None when auto-sizing does not apply (oracle mode, explicit
+        overdraw, dynamic bias — whose eta schedule lowers the click rate
+        over training — or a host-stacked dataset whose stripes are not
+        uniformly addressable)."""
+        if (not self.check_validation or self.hparams.oracle_mode
+                or float(self.hparams.get("resample_overdraw", 0.0)) > 0
+                or float(self.hparams.get("dynamic_bias_eta_change", 0.0))
+                or self.dataset.labels.ndim != 2):
+            return None
+        import math
+
+        n = min(4096, self.dataset.num_queries)
+        key = jax.random.PRNGKey(0x5EED)
+        qs = jax.random.randint(key, (n,), 0, self.dataset.num_queries)
+        _, valid = self._simulate_clicks(
+            self.click_model, jax.random.fold_in(key, 1), qs, self.dataset)
+        p = float(jnp.mean(valid.astype(jnp.float32)))
+        return max(p - 3.0 * math.sqrt(max(p * (1 - p), 1e-6) / n),
+                   p / 2.0, 1e-3)
+
+    def _pool_size(self, batch_size: int) -> int:
+        """Compact candidate-pool size for this (possibly per-shard) batch
+        size: explicit overdraw multiple, or auto-sized from the measured
+        click rate to B + 4*sqrt(B) expected clicked candidates."""
+        import math
+
+        explicit = float(self.hparams.get("resample_overdraw", 0.0))
+        if explicit > 0:
+            return int(round(batch_size * explicit))
+        if self._p_click_lo is None:
+            return batch_size * 4
+        need = batch_size + 4.0 * math.sqrt(batch_size)
+        return int(min(max(math.ceil(need / self._p_click_lo), batch_size),
+                       batch_size * 9))
 
     def _simulate_clicks(self, model, rng, qs, ds: DeviceDataset
                          ) -> Tuple[jax.Array, jax.Array]:
@@ -202,10 +263,11 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
             clicks, _, _ = cm.sample_clicks(model, rng, labels, mask)
         return clicks, (clicks.sum(axis=1) > 0)
 
-    def train_batch(self, rng: jax.Array, state,
-                    dataset: Optional[DeviceDataset] = None) -> Batch:
-        ds = dataset if dataset is not None else self.dataset
-        model = self._model_at_step(state.step)
+    def _draw(self, rng: jax.Array, step, ds: DeviceDataset):
+        """One step's (query indices, clicks, valid) draw — the whole feed
+        except the feature gather. Shared by the per-step path and the
+        hoisted window plan."""
+        model = self._model_at_step(step)
         Q = ds.num_queries
         B = self.batch_size
         k0, rng = jax.random.split(rng)
@@ -222,8 +284,7 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
                 # candidate (P(Binom(C, p_click) < B), vanishing at
                 # overdraw 2) are masked out of the loss like the rounds
                 # strategy's exhausted slots.
-                C = int(round(B * float(
-                    self.hparams.get("resample_overdraw", 2.0))))
+                C = self._pool_size(B)
                 qs_all = jax.random.randint(k0, (C,), 0, Q)
                 clicks_all, valid_all = self._simulate_clicks(
                     model, rng, qs_all, ds)
@@ -253,13 +314,35 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
         else:
             qs = jax.random.randint(k0, (B,), 0, Q)
             clicks, valid = self._simulate_clicks(model, rng, qs, ds)
+        return qs, clicks, valid
 
+    def _assemble(self, qs, clicks, valid, ds: DeviceDataset) -> Batch:
         batch = ds.gather(qs, list_size=self.rank_list_size)
         batch["labels"] = clicks
         if self.check_validation and not self.hparams.oracle_mode:
             # Lists that never clicked are masked out of the loss entirely.
             batch["mask"] = batch["mask"] * valid[:, None]
         return batch
+
+    def train_batch(self, rng: jax.Array, state,
+                    dataset: Optional[DeviceDataset] = None) -> Batch:
+        ds = dataset if dataset is not None else self.dataset
+        qs, clicks, valid = self._draw(rng, state.step, ds)
+        return self._assemble(qs, clicks, valid, ds)
+
+    def train_batch_plan(self, rng: jax.Array, state, dataset, n: int):
+        """Hoist n steps of sampling + click simulation + compaction into
+        one batched program (vmap of `_draw` over the window); the feature
+        gather stays in the per-step body (`batch_from_plan`)."""
+        ds = dataset if dataset is not None else self.dataset
+        keys = jax.random.split(rng, n)
+        steps = state.step + jnp.arange(n)
+        return jax.vmap(lambda k, s: self._draw(k, s, ds))(keys, steps)
+
+    def batch_from_plan(self, plan, i, dataset) -> Batch:
+        ds = dataset if dataset is not None else self.dataset
+        qs, clicks, valid = plan
+        return self._assemble(qs[i], clicks[i], valid[i], ds)
 
 
 class _OnlineSimulationFeed(BaseInputFeed, _ClickFeedMixin):

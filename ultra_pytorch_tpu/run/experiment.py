@@ -326,18 +326,42 @@ class Experiment:
                 self._compiled[key] = dp_multi
                 return self._compiled[key]
 
+            from ultra_pytorch_tpu.input_layer.feeds import BaseInputFeed
+            plan_capable = (type(feed).train_batch_plan
+                            is not BaseInputFeed.train_batch_plan)
+
             def multi(state, rng, data):
                 # `data` is a tracer here, so the scan body referencing it
                 # is a loop-invariant operand, not an embedded constant.
-                def body(carry, _):
-                    state, rng = carry
-                    rng, k_batch, k_train = jax.random.split(rng, 3)
-                    batch = feed.train_batch(k_batch, state, data)
-                    state, metrics = alg.train_step(state, batch, k_train)
-                    return (state, rng), metrics
+                if plan_capable:
+                    # Hoist the window's sampling + click simulation out
+                    # of the scan: one batched op-set instead of `window`
+                    # small sequential ones (feeds.py train_batch_plan).
+                    rng, k_plan = jax.random.split(rng)
+                    plan = feed.train_batch_plan(k_plan, state, data,
+                                                 window)
 
-                (state, rng), metrics = jax.lax.scan(
-                    body, (state, rng), None, length=window)
+                    def body(carry, i):
+                        state, rng = carry
+                        rng, k_train = jax.random.split(rng)
+                        batch = feed.batch_from_plan(plan, i, data)
+                        state, metrics = alg.train_step(state, batch,
+                                                        k_train)
+                        return (state, rng), metrics
+
+                    (state, rng), metrics = jax.lax.scan(
+                        body, (state, rng), jnp.arange(window))
+                else:
+                    def body(carry, _):
+                        state, rng = carry
+                        rng, k_batch, k_train = jax.random.split(rng, 3)
+                        batch = feed.train_batch(k_batch, state, data)
+                        state, metrics = alg.train_step(state, batch,
+                                                        k_train)
+                        return (state, rng), metrics
+
+                    (state, rng), metrics = jax.lax.scan(
+                        body, (state, rng), None, length=window)
                 return state, rng, jax.tree_util.tree_map(
                     lambda m: jnp.mean(m, axis=0), metrics)
 
