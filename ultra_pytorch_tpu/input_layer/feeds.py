@@ -126,6 +126,15 @@ class DirectLabelFeed(BaseInputFeed):
         qs = jax.random.randint(rng, (self.batch_size,), 0, ds.num_queries)
         return _take(ds, qs)
 
+    def train_batch_plan(self, rng: jax.Array, state, dataset, n: int):
+        ds = dataset if dataset is not None else self.dataset
+        return jax.random.randint(rng, (n, self.batch_size), 0,
+                                  ds.num_queries)
+
+    def batch_from_plan(self, plan, i, dataset) -> Batch:
+        ds = dataset if dataset is not None else self.dataset
+        return _take(ds, plan[i])
+
 
 class _ClickFeedMixin:
     """Shared click-model plumbing for simulation feeds."""
