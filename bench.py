@@ -33,8 +33,11 @@ BATCH = 256
 LIST_SIZE = 10
 FEATURES = 136
 BENCH_STEPS = 400
-CHUNK = 50  # steps per dispatch (lax.scan window; tools/bench_exp.py
-#             measured 25/50/100 — 50 is the plateau). Warmup is ONE chunk.
+CHUNK = 200  # steps per dispatch (lax.scan window). r3 plateaued at 50;
+#              the r4 hoisted feed plan moved it: 50/100/200 measured
+#              1.30/1.30/1.38M q/s (one plan + fewer dispatches per step
+#              — the same amortization the driver gets from larger
+#              checkpoint windows). Warmup is ONE chunk.
 
 
 def main():

@@ -89,8 +89,12 @@ def make_optimizer(grad_strategy: str, learning_rate: float,
     else:
         opt = adagrad_torch(learning_rate)
     if max_gradient_norm and max_gradient_norm > 0:
-        return optax.chain(optax.clip_by_global_norm(max_gradient_norm), opt)
-    return opt
+        opt = optax.chain(optax.clip_by_global_norm(max_gradient_norm), opt)
+    # One flat vector instead of per-leaf ops: clip's global norm and the
+    # Adagrad update become ~3 fused kernels instead of ~3 per pytree
+    # leaf — measurable at a ~190us step where per-op issue overhead
+    # counts (BASELINE.md r4). Bit-identical math (ravel/unravel only).
+    return optax.flatten(opt)
 
 
 class BaseAlgorithm:
