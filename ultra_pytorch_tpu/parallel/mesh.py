@@ -242,21 +242,30 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
 
     per_shard = feed.batch_size // n
 
+    from ultra_pytorch_tpu.input_layer.feeds import BaseInputFeed
+
+    plan_capable = (type(feed).train_batch_plan
+                    is not BaseInputFeed.train_batch_plan)
+
     def sharded_body(state, rng, data):
         idx = jax.lax.axis_index(axis)
         fold = lambda key: jax.random.fold_in(key, idx)
         if host_sharded_data:
             data = jax.tree_util.tree_map(lambda x: x[0], data)
 
-        def one_step(state, key):
-            k_batch, k_train = jax.random.split(key)
-
+        def with_shard_batch_size(fn, *a):
             old_bs = feed.batch_size
             feed.batch_size = per_shard
             try:
-                batch = feed.train_batch(fold(k_batch), state, data)
+                return fn(*a)
             finally:
                 feed.batch_size = old_bs
+
+        def one_step(state, key, batch=None):
+            k_batch, k_train = jax.random.split(key)
+            if batch is None:
+                batch = with_shard_batch_size(
+                    feed.train_batch, fold(k_batch), state, data)
 
             algorithm.grad_sync = partial(jax.lax.pmean, axis_name=axis)
             algorithm.shard_rng = fold
@@ -270,6 +279,26 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
 
         if window == 1:
             state, metrics = one_step(state, rng)
+        elif plan_capable:
+            # Hoist the window's per-shard sampling + click simulation out
+            # of the scan (feeds.py train_batch_plan); each shard plans
+            # from its folded rng so draws stay shard-independent.
+            rng, k_plan = jax.random.split(rng)
+            plan = with_shard_batch_size(
+                feed.train_batch_plan, fold(k_plan), state, data, window)
+
+            def body(carry, i):
+                state, rng = carry
+                rng, sub = jax.random.split(rng)
+                batch = with_shard_batch_size(
+                    feed.batch_from_plan, plan, i, data)
+                state, metrics = one_step(state, sub, batch)
+                return (state, rng), metrics
+
+            (state, _), metrics = jax.lax.scan(
+                body, (state, rng), jnp.arange(window))
+            metrics = jax.tree_util.tree_map(
+                lambda m: jnp.mean(m, axis=0), metrics)
         else:
             def body(carry, _):
                 state, rng = carry
