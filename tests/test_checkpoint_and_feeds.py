@@ -294,3 +294,28 @@ def test_compact_resampling_masks_unfilled_slots(toy_data_dir, tmp_path):
     # unclicked slots are exactly the masked ones
     np.testing.assert_array_equal(valid, clicked)
     assert (~valid).sum() > 0  # the rare-click model really left gaps
+
+
+def test_restore_with_old_state_format_is_clear_error(toy_data_dir,
+                                                      click_model_json,
+                                                      tmp_path):
+    """A checkpoint recorded under a different TrainState layout (e.g. the
+    r3 per-leaf optimizer state) must fail with a clear message, not a
+    deep template mismatch."""
+    import pytest
+
+    from ultra_pytorch_tpu.run import experiment as exp_mod
+
+    s = _settings(click_model_json)
+    exp = Experiment(s, toy_data_dir, str(tmp_path / "m"), batch_size=8)
+    exp.setup()
+    exp.init_state()
+    exp.save(extra={"state_format": "opt-per-leaf-r3"})
+
+    exp2 = Experiment(dict(s), toy_data_dir, str(tmp_path / "m"),
+                      batch_size=8)
+    exp2.setup()
+    exp2.init_state()
+    with pytest.raises(ValueError, match="state layout"):
+        exp2.restore()
+    assert exp_mod.STATE_FORMAT == "opt-flat-r4"

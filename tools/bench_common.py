@@ -57,10 +57,7 @@ def make_run_chunk(alg, feed, chunk):
     import jax
     import jax.numpy as jnp
 
-    from ultra_pytorch_tpu.input_layer.feeds import BaseInputFeed
-
-    plan_capable = (type(feed).train_batch_plan
-                    is not BaseInputFeed.train_batch_plan)
+    plan_capable = feed.can_plan()
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(state, rng, data):

@@ -83,6 +83,13 @@ class BaseInputFeed:
         raise NotImplementedError
 
     # -- window planning ---------------------------------------------------
+    def can_plan(self) -> bool:
+        """True when this feed implements the hoisted window plan. The
+        single place callers (Experiment, make_dp_train_step, the bench
+        harness) decide between the planned and per-step scan bodies."""
+        return (type(self).train_batch_plan
+                is not BaseInputFeed.train_batch_plan)
+
     def train_batch_plan(self, rng: jax.Array, state, dataset, n: int):
         """Optionally precompute n steps of (query, label) draws as ONE
         batched program, hoisted out of the per-step scan body.
@@ -218,6 +225,8 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
         over training — or a host-stacked dataset whose stripes are not
         uniformly addressable)."""
         if (not self.check_validation or self.hparams.oracle_mode
+                or self.hparams.get("resample_strategy",
+                                    "compact") != "compact"
                 or float(self.hparams.get("resample_overdraw", 0.0)) > 0
                 or float(self.hparams.get("dynamic_bias_eta_change", 0.0))
                 or self.dataset.labels.ndim != 2):
@@ -241,9 +250,18 @@ class ClickSimulationFeed(BaseInputFeed, _ClickFeedMixin):
 
         explicit = float(self.hparams.get("resample_overdraw", 0.0))
         if explicit > 0:
-            return int(round(batch_size * explicit))
+            # Same [B, 9B] clamp as the auto branch: a multiple < 1 would
+            # silently shrink every batch below batch_size.
+            return int(min(max(round(batch_size * explicit), batch_size),
+                           batch_size * 9))
         if self._p_click_lo is None:
-            return batch_size * 4
+            # Auto-sizing disabled (dynamic bias / host-stacked data):
+            # spend the 'rounds' strategy's total draw budget (9 per
+            # slot). A pooled 9B draws fills at least as many slots as 9
+            # independent draws per slot at every click rate (the pool
+            # shares each slot's excess), so these configs never fill
+            # worse than the r2/r3 behavior.
+            return batch_size * 9
         need = batch_size + 4.0 * math.sqrt(batch_size)
         return int(min(max(math.ceil(need / self._p_click_lo), batch_size),
                        batch_size * 9))

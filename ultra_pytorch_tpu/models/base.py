@@ -88,18 +88,27 @@ def resolve_compute_dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float16": jnp.float16}.get(name)
 
 
-def apply_layer_norm(p, x, eps: float = 1e-5):
-    """LayerNorm with float32 statistics (mean/variance of a bf16 input
-    would lose ~3 decimal digits); output in the input's dtype. Variance
-    via E[x^2]-E[x]^2: one traversal of the (large) input instead of two —
-    the train step is VPU-bound, not MXU-bound (BASELINE.md roofline), so
-    elementwise passes over [B*L, F] are the cost that matters; the
-    cancellation risk is benign at LTR feature scales (|x| ~ 1)."""
+LN_EPS = 1e-5  # the ONE LayerNorm eps (shared with ops/pallas/mlp.py)
+
+
+def normalize_f32(x, eps: float = LN_EPS):
+    """Pre-affine LayerNorm normalization (x - mean) * rsqrt(var + eps)
+    with float32 statistics (mean/variance of a bf16 input would lose ~3
+    decimal digits); returns f32. Variance via E[x^2]-E[x]^2: one
+    traversal of the (large) input instead of two — the train step is
+    VPU-bound, not MXU-bound (BASELINE.md roofline), so elementwise passes
+    over [B*L, F] are the cost that matters; the cancellation risk is
+    benign at LTR feature scales (|x| ~ 1). Shared by the plain and
+    norm-affine-folded DNN paths so the statistics can never diverge."""
     x32 = x.astype(jnp.float32)
     mean = x32.mean(-1, keepdims=True)
     var = (x32 * x32).mean(-1, keepdims=True) - mean * mean
-    var = jnp.maximum(var, 0.0)
-    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return (x32 - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+
+
+def apply_layer_norm(p, x, eps: float = LN_EPS):
+    """LayerNorm (normalize_f32 + affine); output in the input's dtype."""
+    out = normalize_f32(x, eps) * p["scale"] + p["bias"]
     return out.astype(x.dtype)
 
 

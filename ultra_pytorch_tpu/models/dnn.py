@@ -77,11 +77,7 @@ class DNN(base.BaseRanker):
                 # Normalize WITHOUT the affine; fold (gamma, beta) into
                 # the linear's weights instead (weight-sized work, done
                 # once per step, vs activation-sized work per example).
-                x32 = x.astype(jnp.float32)
-                mean = x32.mean(-1, keepdims=True)
-                var = (x32 * x32).mean(-1, keepdims=True) - mean * mean
-                xhat = ((x32 - mean)
-                        * jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5))
+                xhat = base.normalize_f32(x)
                 g, b0 = layer["norm"]["scale"], layer["norm"]["bias"]
                 w, b = layer["linear"]["w"], layer["linear"]["b"]
                 w_eff = w * g[:, None]

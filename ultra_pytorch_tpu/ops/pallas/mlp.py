@@ -36,8 +36,9 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
+from ultra_pytorch_tpu.models.base import LN_EPS as _EPS
+
 TILE_N = 256
-_EPS = 1e-5
 
 
 def pallas_mlp_available() -> bool:

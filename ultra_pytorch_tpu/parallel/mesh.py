@@ -242,10 +242,7 @@ def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,
 
     per_shard = feed.batch_size // n
 
-    from ultra_pytorch_tpu.input_layer.feeds import BaseInputFeed
-
-    plan_capable = (type(feed).train_batch_plan
-                    is not BaseInputFeed.train_batch_plan)
+    plan_capable = feed.can_plan()
 
     def sharded_body(state, rng, data):
         idx = jax.lax.axis_index(axis)

@@ -31,6 +31,10 @@ from ultra_pytorch_tpu.data.trec import output_ranklist
 from ultra_pytorch_tpu.utils import checkpoint as ckpt_lib
 from ultra_pytorch_tpu.utils.registry import find_class
 
+# Checkpoint state-layout version; bump when TrainState's leaf structure
+# changes (r4: optimizer state flattened to one vector, optax.flatten).
+STATE_FORMAT = "opt-flat-r4"
+
 
 def create_algorithm(exp_settings: Dict[str, Any], feature_size: int,
                      max_label: float):
@@ -234,6 +238,11 @@ class Experiment:
         # Key shapes depend on the PRNG impl (threefry (2,) vs rbg (4,));
         # record it so a mismatched --prng at restore is a clear error.
         meta.setdefault("prng_impl", str(jax.config.jax_default_prng_impl))
+        # Optimizer-state layout version: r4 flattened opt_state into one
+        # vector (optax.flatten, algorithms/base.py). Recorded so restores
+        # across layout changes fail with a clear message, like the prng
+        # guard below, instead of a deep template mismatch.
+        meta.setdefault("state_format", STATE_FORMAT)
         # Embed the model schema so serving (serve/scorer.py) can rebuild
         # the ranker + state template without the settings file. Settings
         # are saved AFTER setup() resolved max_candidate_num /
@@ -266,13 +275,22 @@ class Experiment:
                 raise FileNotFoundError(
                     f"--start_checkpoint {path}: no checkpoint there")
             return False
-        saved_prng = ckpt_lib.read_metadata(ckpt).get("prng_impl")
+        meta = ckpt_lib.read_metadata(ckpt)
+        saved_prng = meta.get("prng_impl")
         cur_prng = str(jax.config.jax_default_prng_impl)
         if saved_prng and saved_prng != cur_prng:
             raise ValueError(
                 f"checkpoint {ckpt} was written with "
                 f"--prng {saved_prng} but this run uses --prng {cur_prng}; "
                 "rerun with the matching --prng (key shapes differ)")
+        saved_fmt = meta.get("state_format", "opt-per-leaf-r3")
+        if saved_fmt != STATE_FORMAT:
+            raise ValueError(
+                f"checkpoint {ckpt} uses state layout '{saved_fmt}' but "
+                f"this build writes '{STATE_FORMAT}' (the r4 optimizer "
+                "state is one flattened vector). Re-train, or evaluate "
+                "the old checkpoint with serve/scorer.py (ranker weights "
+                "are layout-independent)")
         if not hasattr(self, "state"):
             self.init_state()
         (self.state, self._data_rng), _ = ckpt_lib.load_checkpoint(
@@ -326,9 +344,7 @@ class Experiment:
                 self._compiled[key] = dp_multi
                 return self._compiled[key]
 
-            from ultra_pytorch_tpu.input_layer.feeds import BaseInputFeed
-            plan_capable = (type(feed).train_batch_plan
-                            is not BaseInputFeed.train_batch_plan)
+            plan_capable = feed.can_plan()
 
             def multi(state, rng, data):
                 # `data` is a tracer here, so the scan body referencing it
