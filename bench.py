@@ -32,12 +32,13 @@ REFERENCE_QPS = float(os.environ.get("ULTRA_REF_QPS", "2142"))
 BATCH = 256
 LIST_SIZE = 10
 FEATURES = 136
-BENCH_STEPS = 400
-CHUNK = 200  # steps per dispatch (lax.scan window). r3 plateaued at 50;
-#              the r4 hoisted feed plan moved it: 50/100/200 measured
-#              1.30/1.30/1.38M q/s (one plan + fewer dispatches per step
-#              — the same amortization the driver gets from larger
-#              checkpoint windows). Warmup is ONE chunk.
+BENCH_STEPS = 1200
+CHUNK = 400  # steps per dispatch (lax.scan window). r3 plateaued at 50;
+#              the r4 hoisted feed plan moved it (50/200/400 measured
+#              1.30/1.72/1.76M q/s on a quiet host — one feed plan +
+#              fewer dispatches per step, the same amortization the
+#              driver gets from larger checkpoint windows). 3 timed
+#              dispatches; warmup is ONE chunk.
 
 
 def main():
