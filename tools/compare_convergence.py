@@ -138,9 +138,15 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
         if not hasattr(_rm, ranker):
             _mod = importlib.import_module(f"ultra.ranking_model.{ranker}")
             setattr(_rm, ranker, getattr(_mod, ranker))
+    # ULTRA_CONV_CLICK_JSON selects the click model for the simulation feed
+    # (default: the feed's own PBM default). Used for the UBM/cascade
+    # at-scale head-to-heads (VERDICT-r4 #4); pass an absolute path so both
+    # sides read the SAME table file.
+    click_json = os.environ.get("ULTRA_CONV_CLICK_JSON", "")
     exp_settings = {
         "train_input_feed": "ultra.input_layer.ClickSimulationFeed",
-        "train_input_hparams": "",
+        "train_input_hparams":
+            (f"click_model_json={click_json}" if click_json else ""),
         "ranking_model": f"ultra.ranking_model.{ranker}",
         "ranking_model_hparams": ("hidden_layer_sizes=[512, 256, 128]"
                                   if ranker == "DNN" else ""),
@@ -312,10 +318,12 @@ def run_ours(data_dir, steps, algo="DLA"):
     feed_name = {"click": "ClickSimulationFeed",
                  "stochastic": "StochasticOnlineSimulationFeed"}[
         os.environ.get("ULTRA_CONV_FEED", "click")]
+    click_json = os.environ.get(
+        "ULTRA_CONV_CLICK_JSON",
+        f"{repo}/example/ClickModel/pbm_0.1_1.0_4_1.0.json")
     settings = {
         "train_input_feed": feed_name,
-        "train_input_hparams":
-            f"click_model_json={repo}/example/ClickModel/pbm_0.1_1.0_4_1.0.json",
+        "train_input_hparams": f"click_model_json={click_json}",
         "valid_input_feed": "DirectLabelFeed",
         "valid_input_hparams": "",
         "ranking_model": os.environ.get("ULTRA_CONV_RANKER", "DNN"),

@@ -14,7 +14,9 @@ into the jax pytree), so every intermediate is directly diffable:
     each side using its own (parity-tested) metric stack.
 
 Usage:
-  python tools/make_mslr_shaped.py /tmp/replay_data   (or any ULTRA dir)
+  python tools/make_toy_data.py /tmp/replay_data --queries 10000 \
+      --valid_queries 1000 --features 136 --max_label 4 \
+      --min_docs 40 --max_docs 200        # the r4/r5 MSLR-shaped protocol
   python tools/replay_prs.py /tmp/replay_data <steps> [eval_every]
 
 Environment: ULTRA_REPLAY_SEED (default 0), ULTRA_PLATFORM=cpu to force
@@ -112,7 +114,7 @@ def oracle_loss(scores, clicks, ipw, sigma=1.0):
 
 # -- the two sides ----------------------------------------------------------
 
-def build_ref(data_dir, cutoff):
+def build_ref(data_dir, cutoff, algo="PRSrank"):
     sys.path.insert(0, REF)
     import torch
 
@@ -159,8 +161,23 @@ def build_ref(data_dir, cutoff):
             np.asarray(self.docid_inputs), dtype=torch.int64)
 
     BaseAlgorithm.create_input_feed = _patched
+
+    # Same current-torch shim as tools/compare_convergence.py: the
+    # reference calls nn.utils.clip_grad_value_ on LABEL tensors (which
+    # never have grads — a semantic no-op, e.g. ipw_rank.py:164);
+    # torch>=2 raises on the resulting empty grad list.
+    _orig_clip_value = torch.nn.utils.clip_grad_value_
+
+    def _safe_clip_value(parameters, clip_value, **kw):
+        params = (list(parameters) if not torch.is_tensor(parameters)
+                  else [parameters])
+        if not any(p.grad is not None for p in params):
+            return
+        return _orig_clip_value(params, clip_value, **kw)
+
+    torch.nn.utils.clip_grad_value_ = _safe_clip_value
     with contextlib.redirect_stdout(io.StringIO()):
-        model = find_class("ultra.learning_algorithm.PRSrank")(train, exp)
+        model = find_class(f"ultra.learning_algorithm.{algo}")(train, exp)
     return model, train, valid
 
 
