@@ -92,6 +92,10 @@ def parse_args(argv=None):
                    help="TensorBoard/JSONL metric logs (default <model_dir>/logs)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="trace this many steps with jax.profiler at start")
+    p.add_argument("--sync_readback", action="store_true",
+                   help="fetch each window's metrics before dispatching "
+                        "the next (default: pipeline one window deep so "
+                        "device->host readback latency overlaps compute)")
     p.add_argument("--prng", type=str, default="threefry2x32",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
                    help="JAX PRNG impl. 'rbg' uses the TPU hardware bit "
@@ -150,35 +154,74 @@ def train(args):
             exp.train_steps(args.profile_steps)
         step += args.profile_steps
 
-    while step < args.max_train_iteration:
-        window = min(args.steps_per_checkpoint,
-                     args.max_train_iteration - step)
-        t0 = time.time()
-        metrics = exp.train_steps(window)
-        dt = time.time() - t0
-        step += window
-        qps = window * args.batch_size / dt
-        summary = exp.validate("valid")
+    # Pipelined window loop (default): each window's train metrics and
+    # validation summary stay ON DEVICE until the NEXT window has been
+    # dispatched, so the (tunnel-latency-bound, ~50 ms/round-trip here)
+    # readback overlaps with device compute instead of serializing with
+    # it. Checkpoint decisions use a device-side state snapshot taken at
+    # the window boundary, so the saved state is exactly the one the
+    # winning summary measured; prints/decisions lag one window behind
+    # dispatch but are identical in content to the synchronous loop
+    # (--sync_readback restores the strictly-ordered behavior).
+    t_flush = [time.time()]
+
+    def flush(entry):
+        """Fetch one window's results (single combined transfer), print,
+        log, decide checkpoint. Returns False on divergence."""
+        nonlocal best
+        metrics_h, summary_h, test_h = jax.device_get(
+            (entry["metrics"], entry["summary"], entry["test"]))
+        now = time.time()
+        qps = entry["window"] * args.batch_size / (now - t_flush[0])
+        t_flush[0] = now
+        metrics = {k: float(v) for k, v in metrics_h.items()}
+        summary = dict(zip(entry["keys"], map(float, summary_h)))
+        at = entry["step"]
         obj = summary.get(objective)
         line = ", ".join(f"{k}={v:.5f}" for k, v in sorted(summary.items()))
-        print(f"step {step} loss {metrics.get('loss', float('nan')):.5f} "
+        print(f"step {at} loss {metrics.get('loss', float('nan')):.5f} "
               f"({qps:.0f} queries/s) | {line}", flush=True)
-        logger.log("train", step, dict(metrics, queries_per_sec=qps))
-        logger.log("valid", step, summary)
-        if args.test_while_train:
-            test_summary = exp.validate("test")
-            logger.log("test", step, test_summary)
+        logger.log("train", at, dict(metrics, queries_per_sec=qps))
+        logger.log("valid", at, summary)
+        if test_h is not None:
+            test_summary = dict(zip(entry["keys"], map(float, test_h)))
+            logger.log("test", at, test_summary)
             print("  test: " + ", ".join(
                 f"{k}={v:.5f}" for k, v in sorted(test_summary.items())))
         if (obj is not None and (best is None or obj > best)
-                and step >= args.start_saving_iteration):
+                and at >= args.start_saving_iteration):
             best = obj
-            exp.save({"step": step, objective: obj})
+            exp.save({"step": at, objective: obj},
+                     state_and_rng=entry["snap"])
             print(f"  saved checkpoint ({objective}={obj:.5f})")
         loss = metrics.get("loss")
         if loss is not None and (loss != loss or loss == float("inf")):
             print("Divergence detected (loss inf/nan); stopping.")
+            return False
+        return True
+
+    pending = None
+    while step < args.max_train_iteration:
+        window = min(args.steps_per_checkpoint,
+                     args.max_train_iteration - step)
+        metrics_dev = exp.train_steps_device(window)
+        keys, summary_dev = exp.validate_device("valid")
+        test_dev = (exp.validate_device("test")[1]
+                    if args.test_while_train else None)
+        entry = {"step": step + window, "window": window, "keys": keys,
+                 "metrics": metrics_dev, "summary": summary_dev,
+                 "test": test_dev, "snap": exp.snapshot_state()}
+        step += window
+        if args.sync_readback:
+            if not flush(entry):
+                break
+            continue
+        if pending is not None and not flush(pending):
+            pending = entry
             break
+        pending = entry
+    if pending is not None:
+        flush(pending)
     if best is None:
         exp.save({"step": step})
     logger.close()

@@ -43,9 +43,14 @@ def exp(tmp_path_factory):
 
 def _naive_validate(exp, split="valid"):
     """Reference implementation: python loop over eval batches."""
+    import jax
+
     from ultra_pytorch_tpu.data.dataset import merge_summary
 
-    eval_fn = exp._eval_step_fn()
+    alg = exp.algorithm
+    eval_fn = jax.jit(
+        lambda state, batch, rng: alg.validation_metrics(state, batch,
+                                                         rng=rng))
     summaries, counts = [], []
     for batch, _, count in exp.feeds[split].eval_batches():
         _, summary = eval_fn(exp.state, batch, None)
@@ -68,15 +73,18 @@ def test_shuffle_ties_only_perturbs_ties(exp):
     all-tied scorer, the rng unbiases the ranking away from initial order."""
     import jax.numpy as jnp
 
+    def _drop_eval_cache():
+        for k in [k for k in exp._compiled
+                  if isinstance(k, tuple) and k[0] == "validate_fused"]:
+            exp._compiled.pop(k)
+
     exp.exp_settings["eval_shuffle_ties"] = True
-    exp._compiled.pop("validate_fused", None)
-    exp._compiled.pop("eval_step", None)
+    _drop_eval_cache()
     try:
         with_rng = exp.validate("valid")
     finally:
         exp.exp_settings["eval_shuffle_ties"] = False
-        exp._compiled.pop("validate_fused", None)
-        exp._compiled.pop("eval_step", None)
+        _drop_eval_cache()
     without = exp.validate("valid")
     for k in with_rng:
         np.testing.assert_allclose(with_rng[k], without[k], rtol=1e-4,

@@ -33,9 +33,14 @@ if os.environ.get("ULTRA_PLATFORM"):
 def naive_validate(exp, split="valid"):
     """The pre-r3 implementation: python loop, one eval_fn call per batch,
     blocking float() per metric per batch."""
+    import jax
+
     from ultra_pytorch_tpu.data.dataset import merge_summary
 
-    eval_fn = exp._eval_step_fn()
+    alg = exp.algorithm
+    eval_fn = jax.jit(
+        lambda state, batch, rng: alg.validation_metrics(state, batch,
+                                                         rng=rng))
     summaries, counts = [], []
     for batch, _, count in exp.feeds[split].eval_batches():
         _, summary = eval_fn(exp.state, batch, None)
@@ -88,6 +93,8 @@ def main():
     exp.setup(splits=("train", "valid"))
     exp.init_state()
 
+    import jax
+
     out = {"queries": args.queries, "list_size": args.list_size,
            "features": args.features, "batch": args.batch,
            "metric_values": 6}
@@ -107,8 +114,30 @@ def main():
             "window_share_pct": round(100 * dt / (
                 dt + 50 * args.batch / args.train_qps), 1),
         }
+
+    # Pipelined steady state (the r5 driver's regime): dispatch pass i+1
+    # BEFORE fetching pass i's single summary vector, so the tunnel
+    # round trip of each fetch overlaps with the next pass's device
+    # compute. This is the per-pass cost validation actually adds to a
+    # training run under main.py's pipelined window loop.
+    _, prev = exp.validate_device()          # warm (already compiled)
+    t0 = time.perf_counter()
+    for _ in range(args.repeats):
+        _, cur = exp.validate_device()
+        jax.device_get(prev)
+        prev = cur
+    jax.device_get(prev)
+    dt = (time.perf_counter() - t0) / (args.repeats + 1)
+    out["pipelined"] = {
+        "wall_s": round(dt, 4),
+        "eval_queries_per_sec": round(args.queries / dt, 1),
+        "window_share_pct": round(100 * dt / (
+            dt + 50 * args.batch / args.train_qps), 1),
+    }
     out["speedup"] = round(out["naive_loop"]["wall_s"]
                            / out["fused"]["wall_s"], 2)
+    out["speedup_pipelined"] = round(out["naive_loop"]["wall_s"]
+                                     / out["pipelined"]["wall_s"], 2)
     print(json.dumps(out, indent=2))
 
 

@@ -98,6 +98,11 @@ class Experiment:
         self.mesh = None
         self._compiled = {}
         self._host_stacked = False
+        # Host-side mirror of state.step: validation tie-break keys derive
+        # from (seed, step), and reading state.step off the device would
+        # cost a blocking round trip per validation (~50 ms through this
+        # deployment's tunnel — the r4 eval path paid it every pass).
+        self._host_step = 0
 
     def _resolve_mesh(self):
         """Decide the DP mesh per the `dp` policy (see __init__)."""
@@ -217,6 +222,7 @@ class Experiment:
             iter(self.datasets.values()))
         self.state = self.algorithm.init_state(
             k_init, train_like.feature_size)
+        self._host_step = 0
         self._place_state()
         return self.state
 
@@ -233,7 +239,22 @@ class Experiment:
         algo_name = self.exp_settings["learning_algorithm"].rsplit(".", 1)[-1]
         return os.path.join(self.model_dir, f"{algo_name}.ckpt")
 
-    def save(self, extra: Dict[str, Any] = None):
+    def snapshot_state(self):
+        """Device-side copy of (state, data_rng) — one tiny compiled
+        program, no host transfer. The pipelined driver loop snapshots at
+        each window boundary so the best-objective checkpoint decision can
+        be made one window later (after the summary transfer has overlapped
+        with the next window's compute) and still save the EXACT state the
+        winning summary measured; the live buffers are donated to the next
+        window by then."""
+        if "snapshot" not in self._compiled:
+            self._compiled["snapshot"] = jax.jit(
+                lambda tree: jax.tree_util.tree_map(jnp.copy, tree))
+        return self._compiled["snapshot"]((self.state, self._data_rng))
+
+    def save(self, extra: Dict[str, Any] = None, state_and_rng=None):
+        """Checkpoint the full train state; `state_and_rng` (a
+        :meth:`snapshot_state` result) overrides the live buffers."""
         meta = dict(extra or {})
         # Key shapes depend on the PRNG impl (threefry (2,) vs rbg (4,));
         # record it so a mismatched --prng at restore is a clear error.
@@ -261,7 +282,9 @@ class Experiment:
             "max_label": float(self.max_label),
         })
         ckpt_lib.save_checkpoint(
-            self.ckpt_path, (self.state, self._data_rng), meta)
+            self.ckpt_path,
+            state_and_rng if state_and_rng is not None
+            else (self.state, self._data_rng), meta)
 
     def restore(self, path: Optional[str] = None) -> bool:
         """Restore full train state. `path` (the --start_checkpoint flag)
@@ -296,6 +319,8 @@ class Experiment:
         (self.state, self._data_rng), _ = ckpt_lib.load_checkpoint(
             ckpt, template=(self.state, self._data_rng))
         self._data_rng = jax.numpy.asarray(self._data_rng)
+        # One device read at restore keeps the host step mirror honest.
+        self._host_step = int(jax.device_get(self.state.step))
         self._place_state()
         return True
 
@@ -384,8 +409,11 @@ class Experiment:
             self._compiled[key] = jax.jit(multi, donate_argnums=(0, 1))
         return self._compiled[key]
 
-    def train_steps(self, num_steps: int, fuse_window: bool = True):
-        """Run `num_steps` steps; returns mean metrics of the window.
+    def train_steps_device(self, num_steps: int, fuse_window: bool = True):
+        """Dispatch `num_steps` steps; returns the window-mean metric tree
+        as UNFETCHED device arrays (no host round trip — the caller decides
+        when to pay the transfer, see :meth:`train_steps` /
+        ``main.py``'s pipelined window loop).
 
         Only ONE scan-window length is ever compiled: the first fused call's
         window becomes canonical, and later calls are decomposed into
@@ -394,27 +422,46 @@ class Experiment:
         steps_per_checkpoint != 0) would compile a second multi-step
         program — compilation costs minutes on this deployment.
         """
+        parts = []  # (metric tree on device, step count)
         if fuse_window and num_steps > 1:
             if getattr(self, "_canonical_window", None) is None:
                 self._canonical_window = num_steps
             window = self._canonical_window
-            totals: Dict[str, float] = {}
             done = 0
             while num_steps - done >= window and window > 1:
                 multi = self._train_multi_fn(window)
                 self.state, self._data_rng, metrics = multi(
                     self.state, self._data_rng, self.device_data["train"])
-                for k, v in metrics.items():
-                    totals[k] = totals.get(k, 0.0) + float(v) * window
+                parts.append((metrics, window))
                 done += window
             if num_steps - done:
-                tail = self._run_single_steps(num_steps - done)
-                for k, v in tail.items():
-                    totals[k] = totals.get(k, 0.0) + v * (num_steps - done)
-            return {k: v / num_steps for k, v in totals.items()}
-        return self._run_single_steps(num_steps)
+                parts.append(self._run_single_steps_device(num_steps - done))
+        else:
+            parts.append(self._run_single_steps_device(num_steps))
+        self._host_step += num_steps
+        if len(parts) == 1:
+            tree, n = parts[0]
+            scale = n / num_steps
+            if scale == 1.0:
+                return tree
+            return jax.tree_util.tree_map(lambda v: v * scale, tree)
+        total = None
+        for tree, n in parts:
+            scaled = jax.tree_util.tree_map(
+                lambda v: v * (n / num_steps), tree)
+            total = scaled if total is None else jax.tree_util.tree_map(
+                jnp.add, total, scaled)
+        return total
 
-    def _run_single_steps(self, num_steps: int):
+    def train_steps(self, num_steps: int, fuse_window: bool = True):
+        """Run `num_steps` steps; returns mean metrics of the window as
+        host floats (ONE device->host transfer for the whole tree — the
+        r4 path paid one blocking round trip per metric)."""
+        tree = self.train_steps_device(num_steps, fuse_window)
+        host = jax.device_get(tree)
+        return {k: float(v) for k, v in host.items()}
+
+    def _run_single_steps_device(self, num_steps: int):
         step_fn = self._train_step_fn()
         agg = None
         for _ in range(num_steps):
@@ -423,45 +470,67 @@ class Experiment:
                                           self.device_data["train"])
             agg = metrics if agg is None else jax.tree_util.tree_map(
                 jnp.add, agg, metrics)
-        return {k: float(v) / num_steps for k, v in agg.items()}
+        return (jax.tree_util.tree_map(lambda v: v / num_steps, agg),
+                num_steps)
 
     # -- eval -------------------------------------------------------------
-    def _eval_step_fn(self):
-        if "eval_step" not in self._compiled:
-            alg = self.algorithm
+    def _metric_keys(self):
+        """Static `{metric}_{n}` key order of a validation summary."""
+        return sorted(
+            f"{m}_{n}"
+            for m in self.exp_settings.get("metrics", ["mrr", "ndcg"])
+            for n in self.exp_settings.get("metrics_topn", [3, 5, 10]))
 
-            def eval_step(state, batch, rng):
-                return alg.validation_metrics(state, batch, rng=rng)
+    def _fused_validate_fn(self, num_queries: int):
+        """A COMPLETE validation pass as ONE compiled program returning ONE
+        stacked [n_metrics] vector: lax.scan over the full batches plus the
+        statically-shaped tail batch, count-weighted merge on device (the
+        exact ``merge_summary`` semantics), metrics stacked so the host
+        pays a single transfer.
 
-            self._compiled["eval_step"] = jax.jit(eval_step)
-        return self._compiled["eval_step"]
-
-    def _fused_validate_fn(self):
-        """The whole full-batch portion of a validation pass as ONE
-        compiled program: lax.scan over batch starts, gathering + scoring +
-        all metrics on device, one host transfer per pass. The python
-        per-batch loop (one blocking float() per metric per batch) costs
-        ~n_batches x dispatch-latency — dominant at MSLR scale where
-        validation runs every steps_per_checkpoint window (BASELINE.md
-        eval-throughput row)."""
-        if "validate_fused" not in self._compiled:
+        The r3/r4 path cost ~14 tunnel round trips per pass at MSLR shape
+        (two dispatches + one blocking float() per metric per dispatch +
+        a state.step read) — ~0.35 s of pure latency for ~3 ms of device
+        work. This program leaves exactly one dispatch and one transfer;
+        `validate_device` doesn't even block on that one (BASELINE.md r5
+        eval section)."""
+        key = ("validate_fused", num_queries)
+        if key not in self._compiled:
             alg = self.algorithm
             B = self.batch_size
+            Q = num_queries
+            n_full, tail = divmod(Q, B)
+            keys = self._metric_keys()
 
-            def fused(state, data, starts, rng):
-                def body(_, start):
-                    batch = data.gather(start + jnp.arange(B))
+            def merged_summary(state, data, rng):
+                parts = []  # (summary dict, query count)
+                if n_full:
+                    starts = jnp.arange(n_full, dtype=jnp.int32) * B
+
+                    def body(_, start):
+                        batch = data.gather(start + jnp.arange(B))
+                        k = None if rng is None else jax.random.fold_in(
+                            rng, start)
+                        _, summary = alg.validation_metrics(
+                            state, batch, rng=k)
+                        return None, summary
+
+                    _, summaries = jax.lax.scan(body, None, starts)
+                    parts.append((jax.tree_util.tree_map(
+                        lambda s: jnp.mean(s, axis=0), summaries),
+                        n_full * B))
+                if tail:
+                    batch = data.gather(jnp.arange(n_full * B, Q))
                     k = None if rng is None else jax.random.fold_in(
-                        rng, start)
+                        rng, n_full * B)
                     _, summary = alg.validation_metrics(state, batch, rng=k)
-                    return None, summary
+                    parts.append((summary, tail))
+                merged = {
+                    k: sum(s[k] * (c / Q) for s, c in parts) for k in keys}
+                return jnp.stack([merged[k] for k in keys])
 
-                _, summaries = jax.lax.scan(body, None, starts)
-                return jax.tree_util.tree_map(
-                    lambda s: jnp.mean(s, axis=0), summaries)
-
-            self._compiled["validate_fused"] = jax.jit(fused)
-        return self._compiled["validate_fused"]
+            self._compiled[key] = jax.jit(merged_summary)
+        return self._compiled[key]
 
     def _eval_rng(self):
         """Tie-break key for this validation pass, or None when disabled.
@@ -474,35 +543,27 @@ class Experiment:
         """
         if not self.exp_settings.get("eval_shuffle_ties", True):
             return None
-        step = int(jax.device_get(self.state.step)) if hasattr(
-            self, "state") else 0
+        # self._host_step mirrors state.step (reading the device scalar
+        # would cost a blocking tunnel round trip per validation pass).
         return jax.random.fold_in(
-            jax.random.PRNGKey(self.seed ^ 0x7EB7), step)
+            jax.random.PRNGKey(self.seed ^ 0x7EB7), self._host_step)
+
+    def validate_device(self, split: str = "valid"):
+        """Dispatch a full validation pass; returns (keys, device vector)
+        WITHOUT blocking — the device vector holds the count-weighted
+        summary in `keys` order. Callers fetch with one jax.device_get
+        when they actually need the numbers (main.py overlaps that fetch
+        with the next train window's compute)."""
+        data = self.device_data[split]
+        fused = self._fused_validate_fn(data.num_queries)
+        return self._metric_keys(), fused(self.state, data, self._eval_rng())
 
     def validate(self, split: str = "valid"):
         """Full-split evaluation with weighted summary merge
-        (ref ``main.py:170-190`` + ``data_utils.py:501-514``)."""
-        data = self.device_data[split]
-        Q = data.num_queries
-        B = self.batch_size
-        rng = self._eval_rng()
-        n_full = Q // B
-        summaries, counts = [], []
-        if n_full:
-            fused = self._fused_validate_fn()
-            summary = fused(self.state, data,
-                            jnp.arange(n_full, dtype=jnp.int32) * B, rng)
-            summaries.append({k: float(v) for k, v in summary.items()})
-            counts.append(n_full * B)
-        if Q % B:
-            eval_fn = self._eval_step_fn()
-            qs = jnp.arange(n_full * B, Q)
-            tail_rng = None if rng is None else jax.random.fold_in(
-                rng, n_full * B)
-            _, summary = eval_fn(self.state, data.gather(qs), tail_rng)
-            summaries.append({k: float(v) for k, v in summary.items()})
-            counts.append(Q - n_full * B)
-        return data_lib.merge_summary(summaries, counts)
+        (ref ``main.py:170-190`` + ``data_utils.py:501-514``): one
+        compiled program, one blocking transfer."""
+        keys, vec = self.validate_device(split)
+        return dict(zip(keys, map(float, jax.device_get(vec))))
 
     def test_scores(self, split: str = "test") -> np.ndarray:
         """Scores over the full split in initial-list order [Q, L]."""
