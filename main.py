@@ -92,6 +92,11 @@ def parse_args(argv=None):
                    help="TensorBoard/JSONL metric logs (default <model_dir>/logs)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="trace this many steps with jax.profiler at start")
+    p.add_argument("--restore_params_only", action="store_true",
+                   help="restore only the ranker weights from the "
+                        "checkpoint (fresh optimizer/aux state) — the "
+                        "migration path for checkpoints written under an "
+                        "older optimizer-state layout")
     p.add_argument("--sync_readback", action="store_true",
                    help="fetch each window's metrics before dispatching "
                         "the next (default: pipeline one window deep so "
@@ -140,8 +145,10 @@ def train(args):
         "train", "valid")
     exp = build_experiment(args, splits=splits)
     exp.init_state()
-    if exp.restore(args.start_checkpoint or None):
-        print(f"Restored checkpoint from "
+    if exp.restore(args.start_checkpoint or None,
+                   params_only=args.restore_params_only):
+        what = "ranker params" if args.restore_params_only else "checkpoint"
+        print(f"Restored {what} from "
               f"{args.start_checkpoint or exp.ckpt_path}")
 
     logger = MetricLogger(args.log_dir or os.path.join(args.model_dir, "logs"))
@@ -231,8 +238,10 @@ def train(args):
 def test(args):
     exp = build_experiment(args, splits=("test",))
     exp.init_state()
-    if exp.restore(args.start_checkpoint or None):
-        print(f"Restored checkpoint from "
+    if exp.restore(args.start_checkpoint or None,
+                   params_only=args.restore_params_only):
+        what = "ranker params" if args.restore_params_only else "checkpoint"
+        print(f"Restored {what} from "
               f"{args.start_checkpoint or exp.ckpt_path}")
     else:
         print("WARNING: no checkpoint found; testing from random init")

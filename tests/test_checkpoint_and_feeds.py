@@ -319,3 +319,34 @@ def test_restore_with_old_state_format_is_clear_error(toy_data_dir,
     with pytest.raises(ValueError, match="state layout"):
         exp2.restore()
     assert exp_mod.STATE_FORMAT == "opt-flat-r4"
+
+
+def test_restore_params_only_migrates_old_layouts(toy_data_dir,
+                                                  click_model_json,
+                                                  tmp_path):
+    """--restore_params_only carries the ranker weights out of a
+    checkpoint regardless of its optimizer-state layout version (the
+    ADVICE-r4 migration path): params restore exactly, optimizer/aux
+    state start fresh, and training continues."""
+    s = _settings(click_model_json)
+    exp = Experiment(s, toy_data_dir, str(tmp_path / "m"), batch_size=8)
+    exp.setup()
+    exp.init_state()
+    exp.train_steps(3)
+    trained = [np.asarray(x)
+               for x in jax.tree_util.tree_leaves(exp.state.params)]
+    # Stamp an old layout version: params leaves precede opt_state in the
+    # flatten order, so the prefix loader must not care about the stamp.
+    exp.save(extra={"state_format": "opt-per-leaf-r3"})
+
+    exp2 = Experiment(dict(s), toy_data_dir, str(tmp_path / "m"),
+                      batch_size=8)
+    exp2.setup()
+    exp2.init_state()
+    assert exp2.restore(params_only=True)
+    for a, b in zip(trained,
+                    jax.tree_util.tree_leaves(exp2.state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert int(exp2.state.step) == 0          # fresh optimizer/step
+    m = exp2.train_steps(2)                   # training continues
+    assert np.isfinite(m["loss"])

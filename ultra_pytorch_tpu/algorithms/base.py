@@ -93,7 +93,12 @@ def make_optimizer(grad_strategy: str, learning_rate: float,
     # One flat vector instead of per-leaf ops: clip's global norm and the
     # Adagrad update become ~3 fused kernels instead of ~3 per pytree
     # leaf — measurable at a ~190us step where per-op issue overhead
-    # counts (BASELINE.md r4). Bit-identical math (ravel/unravel only).
+    # counts (BASELINE.md r4). Numerically equivalent, NOT bit-identical:
+    # flattening changes clip_by_global_norm's sum-of-squares reduction
+    # order (one concatenated vector vs per-leaf partials), and first-step
+    # Adagrad is +/-lr*sign(g), so float-noise sign flips can diverge
+    # trajectories across builds (expected; both sides of the r4 replay
+    # harness show the same chaos).
     return optax.flatten(opt)
 
 

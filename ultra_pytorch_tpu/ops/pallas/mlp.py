@@ -61,9 +61,13 @@ def _layer_chain(h, flat, n_layers, act, use_norm):
     for j in range(n_layers):
         scale, bias, w, b = flat[4 * j: 4 * j + 4]
         if use_norm:
+            # Clamped one-pass E[x^2]-E[x]^2 — the same formulation as
+            # models/base.py:normalize_f32 and the backward kernel below,
+            # so forward and backward can never use different statistics.
             mean = h.mean(axis=-1, keepdims=True)
-            var = ((h - mean) ** 2).mean(axis=-1, keepdims=True)
-            h = (h - mean) * jax.lax.rsqrt(var + _EPS) * scale + bias
+            var = (h * h).mean(axis=-1, keepdims=True) - mean * mean
+            h = ((h - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + _EPS)
+                 * scale + bias)
         h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
         if j != n_layers - 1:
             h = act(h)

@@ -184,27 +184,53 @@ def device_sharded_dataset(dataset, mesh: Mesh, list_size=None):
     Returns a global DeviceDataset with a leading per-device axis sharded
     ``P(data)`` — the :func:`host_stacked_dataset` layout — consumable by
     ``make_dp_train_step(..., host_sharded_data=True)``.
+
+    Stripes are built and shipped ONE DEVICE AT A TIME: only a single
+    stripe's host copy is alive at once, so host RAM stays ~1/N of the
+    table above the (already loaded) full dataset instead of holding all
+    N stripes simultaneously (ADVICE-r4).
+
+    Duplicate-sampling bias bound (ADVICE-r4): stripes are equalized to
+    ceil(Q/N) queries by wrapping into the global range, so at most
+    ``ceil(Q/N)*N - Q < N`` queries appear twice across the mesh — each
+    of those is sampled at 2x the weight of the others, a relative
+    overdraw of < N/Q of the query mass. At this path's intended scale
+    (tables too big to replicate: Istella's 23k+ queries over <=64
+    devices) that is < 0.3%; sub-device-count datasets are rejected by
+    :func:`shard_queries_for_host`.
     """
     n = mesh.devices.size
-    arrs = [shard_queries_for_host(dataset, host_id=i, num_hosts=n)
-            .to_host_arrays(list_size) for i in range(n)]
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    keys = ("features", "doc_idx", "labels", "mask", "initial_scores")
+    bufs = {k: [] for k in keys}
+    shapes = None
+    max_label = None
+    for i, dev in enumerate(mesh.devices.flat):
+        a = shard_queries_for_host(dataset, host_id=i,
+                                   num_hosts=n).to_host_arrays(list_size)
+        max_label = a["max_label"]
+        cur = {k: np.asarray(a[k]).shape for k in keys}
+        if shapes is None:
+            shapes = cur
+        elif cur != shapes:  # shard_queries_for_host guarantees equality
+            raise AssertionError(
+                f"stripe {i} shapes {cur} != stripe 0 shapes {shapes}")
+        for k in keys:
+            bufs[k].append(jax.device_put(np.asarray(a[k])[None], dev))
+        del a  # one stripe's host copy alive at a time
 
-    def stack(key):
-        bufs = [jax.device_put(np.asarray(a[key])[None], d)
-                for a, d in zip(arrs, mesh.devices.flat)]
-        shape = (n,) + np.asarray(arrs[0][key]).shape
+    def assemble(key):
         return jax.make_array_from_single_device_arrays(
-            shape, sharding, bufs)
+            (n,) + shapes[key], sharding, bufs[key])
 
     from ultra_pytorch_tpu.data.dataset import DeviceDataset
     return DeviceDataset(
-        features=stack("features"),
-        doc_idx=stack("doc_idx"),
-        labels=stack("labels"),
-        mask=stack("mask"),
-        initial_scores=stack("initial_scores"),
-        max_label=arrs[0]["max_label"])
+        features=assemble("features"),
+        doc_idx=assemble("doc_idx"),
+        labels=assemble("labels"),
+        mask=assemble("mask"),
+        initial_scores=assemble("initial_scores"),
+        max_label=max_label)
 
 
 def make_dp_train_step(algorithm, feed, mesh: Mesh, axis: str = DATA_AXIS,

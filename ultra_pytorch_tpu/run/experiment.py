@@ -286,10 +286,16 @@ class Experiment:
             state_and_rng if state_and_rng is not None
             else (self.state, self._data_rng), meta)
 
-    def restore(self, path: Optional[str] = None) -> bool:
+    def restore(self, path: Optional[str] = None,
+                params_only: bool = False) -> bool:
         """Restore full train state. `path` (the --start_checkpoint flag)
         overrides the default <model_dir>/<algo>.ckpt; an explicit path
-        that does not exist is an error rather than a silent fresh start."""
+        that does not exist is an error rather than a silent fresh start.
+
+        `params_only` (the --restore_params_only flag) loads just the
+        ranker weights — the migration path for checkpoints written under
+        an older optimizer-state layout (params are layout-independent;
+        optimizer/aux state and step start fresh)."""
         ckpt = path or self.ckpt_path
         if ckpt.endswith(".npz"):
             ckpt = ckpt[: -len(".npz")]
@@ -299,6 +305,13 @@ class Experiment:
                     f"--start_checkpoint {path}: no checkpoint there")
             return False
         meta = ckpt_lib.read_metadata(ckpt)
+        if not hasattr(self, "state"):
+            self.init_state()
+        if params_only:
+            self.state = self.state.replace(
+                params=ckpt_lib.load_params_prefix(ckpt, self.state.params))
+            self._place_state()
+            return True
         saved_prng = meta.get("prng_impl")
         cur_prng = str(jax.config.jax_default_prng_impl)
         if saved_prng and saved_prng != cur_prng:
@@ -311,11 +324,10 @@ class Experiment:
             raise ValueError(
                 f"checkpoint {ckpt} uses state layout '{saved_fmt}' but "
                 f"this build writes '{STATE_FORMAT}' (the r4 optimizer "
-                "state is one flattened vector). Re-train, or evaluate "
-                "the old checkpoint with serve/scorer.py (ranker weights "
-                "are layout-independent)")
-        if not hasattr(self, "state"):
-            self.init_state()
+                "state is one flattened vector). Pass "
+                "--restore_params_only to carry the ranker weights into a "
+                "fresh optimizer state, or evaluate the old checkpoint "
+                "with serve/scorer.py")
         (self.state, self._data_rng), _ = ckpt_lib.load_checkpoint(
             ckpt, template=(self.state, self._data_rng))
         self._data_rng = jax.numpy.asarray(self._data_rng)

@@ -86,6 +86,39 @@ def load_checkpoint(path: str, template: Any = None) -> Tuple[Any, dict]:
         "format is no longer readable; no pickle is ever loaded)")
 
 
+def load_params_prefix(path: str, params_template: Any) -> Any:
+    """Restore ONLY the ranker params from a checkpoint, regardless of its
+    optimizer-state layout version.
+
+    ``TrainState`` flattens as (params, opt_state, aux, step) and the
+    saved tree is ``(TrainState, rng)``, so the params leaves are always
+    the FIRST ``len(params_leaves)`` stored leaves in template order —
+    the r3->r4 optimizer flattening changed only the opt_state leaves
+    after them. Every leaf is shape-checked against the template. Used by
+    the --restore_params_only migration path (run/experiment.py): ranker
+    weights carry over, optimizer/aux state start fresh.
+    """
+    data = np.load(path + ".npz")
+    if _META_KEY not in data.files:
+        raise ValueError(f"{path}.npz is not a framework checkpoint")
+    tpl_leaves, treedef = jax.tree_util.tree_flatten(params_template)
+    n_saved = json.loads(str(data[_META_KEY]))["n"]
+    if n_saved < len(tpl_leaves):
+        raise ValueError(
+            f"checkpoint {path}.npz has {n_saved} leaves, fewer than the "
+            f"{len(tpl_leaves)} params leaves of this model")
+    leaves = []
+    for i, tpl in enumerate(tpl_leaves):
+        saved = data[f"leaf_{i}"]
+        if tuple(saved.shape) != tuple(np.shape(tpl)):
+            raise ValueError(
+                f"checkpoint params leaf_{i} shape {tuple(saved.shape)} != "
+                f"model shape {tuple(np.shape(tpl))} — different ranker "
+                "architecture?")
+        leaves.append(saved)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def read_metadata(path: str) -> dict:
     """Read only the JSON metadata of a checkpoint (no template needed)."""
     data = np.load(path + ".npz")
