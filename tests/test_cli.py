@@ -196,3 +196,51 @@ def test_offline_exp_pipeline_end_to_end(tmp_path):
     ranklist = work / "out" / "test.ranklist"
     assert ranklist.exists()
     assert len(ranklist.read_text().splitlines()) > 0
+
+
+def test_pipelined_and_sync_readback_agree(toy_data_dir, click_model_json,
+                                           tmp_path):
+    """The default one-window-deep pipelined loop must produce the SAME
+    per-window metrics and checkpoint decisions as --sync_readback — the
+    pipeline only changes WHEN results are fetched, never their values
+    (snapshot-based checkpointing, host-side eval-rng step mirror)."""
+    settings = {
+        "train_input_feed": "ClickSimulationFeed",
+        "train_input_hparams": f"click_model_json={click_model_json}",
+        "valid_input_feed": "DirectLabelFeed",
+        "valid_input_hparams": "",
+        "ranking_model": "DNN",
+        "ranking_model_hparams": "hidden_layer_sizes=[16]",
+        "learning_algorithm": "DLA",
+        "learning_algorithm_hparams": "",
+        "metrics": ["ndcg", "mrr"],
+        "metrics_topn": [5],
+        "objective_metric": "ndcg_5",
+        "selection_bias_cutoff": 5,
+    }
+    setting_file = tmp_path / "settings.json"
+    setting_file.write_text(json.dumps(settings))
+
+    logs = {}
+    for mode, extra in (("async", []), ("sync", ["--sync_readback"])):
+        model_dir = tmp_path / f"model_{mode}"
+        _run(["--data_dir", toy_data_dir,
+              "--setting_file", str(setting_file),
+              "--model_dir", str(model_dir),
+              "--batch_size", "16",
+              "--max_train_iteration", "25",
+              "--steps_per_checkpoint", "10",   # uneven tail window
+              "--dp", "off",
+              "--seed", "7"] + extra, cwd=str(tmp_path))
+        with open(model_dir / "logs" / "metrics.jsonl") as fin:
+            entries = [json.loads(line) for line in fin]
+        logs[mode] = {
+            (e["split"], e["step"], k): v
+            for e in entries for k, v in e.items()
+            # wall-clock keys differ by design; compare metric values only
+            if k not in ("split", "step", "time", "queries_per_sec")}
+        assert (model_dir / "DLA.ckpt.npz").exists()
+
+    assert set(logs["async"]) == set(logs["sync"])
+    for key, v in logs["async"].items():
+        assert abs(v - logs["sync"][key]) < 1e-6, (key, v, logs["sync"][key])
