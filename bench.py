@@ -32,12 +32,14 @@ REFERENCE_QPS = float(os.environ.get("ULTRA_REF_QPS", "2142"))
 BATCH = 256
 LIST_SIZE = 10
 FEATURES = 136
-BENCH_STEPS = 1200
-CHUNK = 400  # steps per dispatch (lax.scan window). r3 plateaued at 50;
-#              the r4 hoisted feed plan moved it (50/200/400 measured
-#              1.30/1.72/1.76M q/s on a quiet host — one feed plan +
-#              fewer dispatches per step, the same amortization the
-#              driver gets from larger checkpoint windows). 3 timed
+BENCH_STEPS = 2400
+CHUNK = 800  # steps per dispatch (lax.scan window). A PROTOCOL knob
+#              (dispatch amortization, not a code win — the same
+#              amortization the driver gets from larger checkpoint
+#              windows, and the r5 pipelined driver hides readback even
+#              at 500-step windows). Same-session ladder, r5:
+#              400/800/1600 = 1.87/2.02/2.08M q/s; 800 adopted as the
+#              operating point (BASELINE.md r5 note). 3 timed
 #              dispatches; warmup is ONE chunk.
 
 
