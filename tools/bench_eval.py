@@ -56,8 +56,9 @@ def main():
     p.add_argument("--features", type=int, default=136)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--train-qps", type=float, default=1_230_000,
-                   help="headline train throughput for the window-share calc")
+    p.add_argument("--train-qps", type=float, default=1_850_000,
+                   help="headline train throughput for the window-share calc "
+                        "(default: the r4 driver-captured BENCH_r04 number)")
     args = p.parse_args()
 
     import tempfile
