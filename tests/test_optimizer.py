@@ -53,3 +53,39 @@ def test_optax_adagrad_would_not_match():
     supd, _ = stock.update(g, stock.init(params), params)
     # optax: -lr * g * rsqrt(g^2 + eps) — attenuated ~100x at |g|=1e-7.
     assert abs(float(supd["w"][0])) < 0.002
+
+
+def test_adagrad_reset_matches_fresh_torch_instance_per_step():
+    """The reference DLA instantiates a NEW torch.optim.Adagrad every
+    train step (ref dla.py:127,153-154), so its accumulator never
+    persists; grad_strategy=ada_reset reproduces that exactly."""
+    from ultra_pytorch_tpu.algorithms.base import adagrad_reset
+
+    rng = np.random.default_rng(1)
+    p0 = rng.normal(size=(4, 3)).astype(np.float32)
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    jopt = adagrad_reset(0.05)
+    params = {"w": jnp.array(p0.copy())}
+    st = jopt.init(params)
+
+    for step in range(10):
+        g = (rng.normal(size=(4, 3))
+             * (10.0 ** rng.integers(-8, 1))).astype(np.float32)
+        # fresh optimizer instance each step, like the reference's DLA
+        topt = torch.optim.Adagrad([tp], lr=0.05)
+        tp.grad = torch.tensor(g.copy())
+        topt.step()
+        upd, st = jopt.update({"w": jnp.array(g)}, st)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tp.detach().numpy(), atol=2e-6)
+    # and it is NOT what persistent Adagrad does: after 10 unit-scale
+    # steps the persistent accumulator shrinks updates ~sqrt(10)x.
+    g = {"w": jnp.ones((4, 3), jnp.float32)}
+    pers = adagrad_torch(0.05)
+    pst = pers.init({"w": jnp.zeros((4, 3))})
+    for _ in range(10):
+        pupd, pst = pers.update(g, pst)
+    rupd, _ = jopt.update(g, st)
+    assert float(jnp.abs(rupd["w"]).mean()) > 2.5 * float(
+        jnp.abs(pupd["w"]).mean())

@@ -114,7 +114,7 @@ def oracle_loss(scores, clicks, ipw, sigma=1.0):
 
 # -- the two sides ----------------------------------------------------------
 
-def build_ref(data_dir, cutoff, algo="PRSrank"):
+def build_ref(data_dir, cutoff, algo="PRSrank", algo_hparams=None):
     sys.path.insert(0, REF)
     import torch
 
@@ -130,9 +130,15 @@ def build_ref(data_dir, cutoff, algo="PRSrank"):
     est = os.path.join(REF, "example/PropensityEstimator/"
                              "randomized_pbm_0.1_1.0_4_1.0.json")
     strategy = os.environ.get("ULTRA_REPLAY_STRATEGY", "ada")
+    if algo_hparams is None:
+        # IPW/PRS default: a pretrained estimator + the optimizer select.
+        # (Algorithms without the estimator hparam, e.g. DLA, must pass
+        # their own string — the reference's HParams.parse rejects
+        # undeclared keys.)
+        algo_hparams = (f"propensity_estimator_json={est},"
+                        f"grad_strategy={strategy}")
     exp = {
-        "learning_algorithm_hparams":
-            f"propensity_estimator_json={est},grad_strategy={strategy}",
+        "learning_algorithm_hparams": algo_hparams,
         "ranking_model": "ultra.ranking_model.DNN",
         "ranking_model_hparams": "hidden_layer_sizes=[512, 256, 128]",
         "metrics": ["ndcg", "mrr"],

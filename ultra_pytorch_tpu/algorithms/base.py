@@ -78,14 +78,53 @@ def adagrad_torch(learning_rate: float,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def adagrad_reset(learning_rate: float,
+                  initial_accumulator_value: float = 0.0,
+                  eps: float = 1e-10) -> optax.GradientTransformation:
+    """Adagrad whose accumulator resets EVERY step — the reference DLA's
+    de-facto optimizer.
+
+    The reference's ``DLA.separate_gradient_update`` instantiates a fresh
+    ``torch.optim.Adagrad`` each call (``self.optimizer_func`` holds the
+    CLASS, not an instance — ref ``dla.py:127,153-154``; every other
+    reference algorithm builds its optimizer once in ``__init__``). A fresh
+    torch optimizer has an empty state dict, so each step's accumulator is
+    just ``g^2`` and the update collapses to
+    ``-lr * g / (|g| + eps) ~= -lr * sign(g)`` — constant-magnitude sign
+    steps, not Adagrad. That behavior explains the reference DLA's training
+    dynamics at scale: fast early progress (steps never decay) and its
+    documented divergence under the PBM 10k-iteration protocol (constant
+    steps cannot anneal; BASELINE.md). Exposed as
+    ``grad_strategy=ada_reset`` so the reference's exact DLA dynamics can
+    be reproduced/compared; the default ``ada`` keeps true Adagrad."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree.map(
+            lambda g: -learning_rate * g / (
+                jnp.sqrt(initial_accumulator_value + jnp.square(g)) + eps),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(grad_strategy: str, learning_rate: float,
                    max_gradient_norm: float) -> optax.GradientTransformation:
     """Optimizer select (ref per-algo ``grad_strategy`` 'ada'|'sgd', e.g.
     ``dla.py:127-129``) with torch-exact Adagrad (see :func:`adagrad_torch`)
     and the reference's clip-by-global-norm
-    (ref ``base_algorithm.py:223-225``)."""
+    (ref ``base_algorithm.py:223-225``). ``ada_reset`` reproduces the
+    reference DLA's per-step optimizer re-instantiation (see
+    :func:`adagrad_reset`)."""
     if grad_strategy == "sgd":
         opt = optax.sgd(learning_rate)
+    elif grad_strategy == "ada_reset":
+        opt = adagrad_reset(learning_rate)
     else:
         opt = adagrad_torch(learning_rate)
     if max_gradient_norm and max_gradient_norm > 0:

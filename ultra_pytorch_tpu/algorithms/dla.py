@@ -20,6 +20,16 @@ SIGIR'18). One fused train step computes:
 
 Both towers and both optimizer states live in the TrainState so resume is
 lossless (the reference checkpoints only the ranker, ref ``main.py:198-214``).
+
+Behavioral divergence (documented, deliberate): the reference
+re-instantiates its Adagrad optimizers EVERY step (``self.optimizer_func``
+holds the class, ref ``dla.py:127,153-154``), so its accumulator never
+persists and each update is ``~ -lr * sign(g)`` — constant-magnitude steps
+that converge fast early but cannot anneal (its at-scale runs collapse
+mid-training; BASELINE.md r5 non-PBM section). The default here is TRUE
+persistent-accumulator Adagrad; set ``grad_strategy=ada_reset`` to
+reproduce the reference's exact dynamics (step-equivalence evidence:
+``tools/replay_dla.py``).
 """
 
 from __future__ import annotations
