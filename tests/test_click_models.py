@@ -100,3 +100,39 @@ def test_masked_positions_never_click():
     mask = jnp.tile(jnp.asarray([[1.0, 1.0, 0.0, 0.0]]), (1000, 1))
     clicks, _, _ = cm.sample_clicks(model, jax.random.PRNGKey(3), lab, mask)
     assert float(clicks[:, 2:].sum()) == 0.0
+
+
+def test_ubm_scan_sampler_matches_sequential_numpy_oracle():
+    """The jitted lax.scan UBM path vs an independent sequential numpy
+    implementation of the reference's semantics (exam =
+    table[rank, rank - last_click_rank - 1], last_click_rank init -1,
+    ref click_models.py:138-185) — statistical agreement of per-position
+    AND click-conditional rates on identical label distributions."""
+    model = cm.make_click_model("ubm", 0.1, 1.0, 4, 1.0)
+    table = np.asarray(model.exam_prob, np.float64)
+    click_p = np.asarray(model.click_prob, np.float64)
+
+    rng = np.random.default_rng(7)
+    N, L = 40000, 10
+    labels = rng.integers(0, 5, size=(N, L)).astype(np.float64)
+
+    # sequential numpy oracle
+    oracle = np.zeros((N, L), np.float32)
+    for i in range(N):
+        last = -1
+        for r in range(L):
+            p = table[r, r - last - 1] * click_p[int(labels[i, r])]
+            if rng.random() < p:
+                oracle[i, r] = 1.0
+                last = r
+    ours, _, _ = cm.sample_clicks(model, jax.random.PRNGKey(11),
+                                  jnp.asarray(labels))
+    ours = np.asarray(ours)
+
+    # per-position click rates (binomial se ~ 0.0025 at N=40000)
+    np.testing.assert_allclose(ours.mean(0), oracle.mean(0), atol=0.012)
+    # sequential dependence: P(click@p | click@p-1) for a few positions
+    for p in (1, 4, 8):
+        o = oracle[oracle[:, p - 1] > 0][:, p].mean()
+        u = ours[ours[:, p - 1] > 0][:, p].mean()
+        assert abs(o - u) < 0.025, (p, o, u)
