@@ -53,6 +53,23 @@ for s in 1 2; do
     /tmp/mslr_data 10000 DLA > "$OUT/$tag.log" 2>&1
 done
 
+# cascade 3v3 extension (seed 0 comes from the main queues)
+CAS=/root/reference/example/ClickModel/cascade_0.1_1.0_4_1.0.json
+for s in 1 2; do
+  tag=mslr_Naive_cascade_ours_s$s
+  [ -f "$OUT/$tag.log" ] && continue
+  ULTRA_CONV_EVALS=10 ULTRA_CONV_SEED=$s ULTRA_CONV_CLICK_JSON=$CAS \
+    timeout 1200 python -u tools/compare_convergence.py ours \
+    /tmp/mslr_data 10000 NaiveAlgorithm > "$OUT/$tag.log" 2>&1
+done
+for s in 1 2; do
+  tag=mslr_Naive_cascade_ref_s$s
+  [ -f "$OUT/$tag.log" ] && continue
+  ULTRA_CONV_EVALS=10 ULTRA_CONV_SEED=$s ULTRA_CONV_CLICK_JSON=$CAS \
+    timeout 7200 python tools/compare_convergence.py ref \
+    /tmp/mslr_data 10000 NaiveAlgorithm > "$OUT/$tag.log" 2>&1
+done
+
 # the step-equivalence replay (CPU, ~40 min)
 if [ ! -f "$OUT/replay_dla_ubm.log" ]; then
   ULTRA_PLATFORM=cpu timeout 5400 python -u tools/replay_dla.py \
