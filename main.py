@@ -178,9 +178,11 @@ def train(args):
         nonlocal best
         metrics_h, summary_h, test_h = jax.device_get(
             (entry["metrics"], entry["summary"], entry["test"]))
-        now = time.time()
-        qps = entry["window"] * args.batch_size / (now - t_flush[0])
-        t_flush[0] = now
+        # Window rate = dispatch-to-fetch wall over the window; the stamp
+        # is re-taken AFTER the save/log host work below so that work is
+        # not billed to the NEXT window's rate.
+        qps = (entry["window"] * args.batch_size
+               / (time.time() - t_flush[0]))
         metrics = {k: float(v) for k, v in metrics_h.items()}
         summary = dict(zip(entry["keys"], map(float, summary_h)))
         at = entry["step"]
@@ -195,14 +197,23 @@ def train(args):
             logger.log("test", at, test_summary)
             print("  test: " + ", ".join(
                 f"{k}={v:.5f}" for k, v in sorted(test_summary.items())))
-        if (obj is not None and (best is None or obj > best)
+        # Divergence check BEFORE the checkpoint decision: a window whose
+        # mean loss went inf/nan must never overwrite the best checkpoint
+        # (metrics over degenerate scores can still read as finite).
+        loss = metrics.get("loss")
+        diverged = loss is not None and (loss != loss
+                                         or loss == float("inf"))
+        # obj == obj guards NaN objectives from poisoning `best` (NaN
+        # comparisons are False forever after, silently disabling saves).
+        if (not diverged and obj is not None and obj == obj
+                and (best is None or obj > best)
                 and at >= args.start_saving_iteration):
             best = obj
             exp.save({"step": at, objective: obj},
                      state_and_rng=entry["snap"])
             print(f"  saved checkpoint ({objective}={obj:.5f})")
-        loss = metrics.get("loss")
-        if loss is not None and (loss != loss or loss == float("inf")):
+        t_flush[0] = time.time()
+        if diverged:
             print("Divergence detected (loss inf/nan); stopping.")
             return False
         return True
@@ -217,14 +228,21 @@ def train(args):
                     if args.test_while_train else None)
         entry = {"step": step + window, "window": window, "keys": keys,
                  "metrics": metrics_dev, "summary": summary_dev,
-                 "test": test_dev, "snap": exp.snapshot_state()}
+                 "test": test_dev,
+                 # Sync mode flushes immediately, so the live state IS the
+                 # window's end state — no device-side copy needed.
+                 "snap": (None if args.sync_readback
+                          else exp.snapshot_state())}
         step += window
         if args.sync_readback:
             if not flush(entry):
                 break
             continue
         if pending is not None and not flush(pending):
-            pending = entry
+            # The already-dispatched window trained FROM the diverged
+            # state; never flush it (it could overwrite the best
+            # checkpoint with post-divergence weights).
+            pending = None
             break
         pending = entry
     if pending is not None:

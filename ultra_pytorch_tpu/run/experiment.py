@@ -304,14 +304,16 @@ class Experiment:
                 raise FileNotFoundError(
                     f"--start_checkpoint {path}: no checkpoint there")
             return False
-        meta = ckpt_lib.read_metadata(ckpt)
         if not hasattr(self, "state"):
             self.init_state()
         if params_only:
+            # No metadata needed: params are layout-independent, and the
+            # prng/state-format guards below only apply to full restores.
             self.state = self.state.replace(
                 params=ckpt_lib.load_params_prefix(ckpt, self.state.params))
             self._place_state()
             return True
+        meta = ckpt_lib.read_metadata(ckpt)
         saved_prng = meta.get("prng_impl")
         cur_prng = str(jax.config.jax_default_prng_impl)
         if saved_prng and saved_prng != cur_prng:
@@ -452,11 +454,10 @@ class Experiment:
             parts.append(self._run_single_steps_device(num_steps))
         self._host_step += num_steps
         if len(parts) == 1:
-            tree, n = parts[0]
-            scale = n / num_steps
-            if scale == 1.0:
-                return tree
-            return jax.tree_util.tree_map(lambda v: v * scale, tree)
+            # A lone part always covers exactly num_steps (one canonical
+            # window, the whole-request single-step path, or fuse off).
+            tree, _ = parts[0]
+            return tree
         total = None
         for tree, n in parts:
             scaled = jax.tree_util.tree_map(
