@@ -237,14 +237,23 @@ def run_reference(data_dir, steps, algo="DLA", ref_path="/root/reference"):
     # ClickSimulationFeed (which only builds rank_list_size positions) —
     # KeyError 'docid_input10' out of the box on any dataset whose lists
     # exceed the cutoff; yet another never-run reference config.
+    # The feed MUST receive train_input_hparams: an empty hparam string
+    # silently falls back to the feed's default PBM json, turning every
+    # ULTRA_CONV_CLICK_JSON=ubm/cascade run into a PBM run (this exact bug
+    # invalidated the first r5 reference-side non-PBM measurements —
+    # verified by probing feed.click_model.model_name under "").
+    feed_hparams = exp_settings["train_input_hparams"]
     if os.environ.get("ULTRA_CONV_FEED", "click") == "stochastic":
         from ultra.input_layer.stochastic_online_simulation_feed import (
             StochasticOnlineSimulationFeed)
         if not hasattr(model.hparams, "need_interleave"):
             model.hparams.add_hparam("need_interleave", False)
-        feed = StochasticOnlineSimulationFeed(model, 256, "")
+        feed = StochasticOnlineSimulationFeed(model, 256, feed_hparams)
     else:
-        feed = ClickSimulationFeed(model, 256, "")
+        feed = ClickSimulationFeed(model, 256, feed_hparams)
+    # Surface the ACTIVE model in every log so a wiring regression is
+    # visible in the provenance trail.
+    print(f"[ref] click model: {feed.click_model.model_name}", flush=True)
     vfeed = DirectLabelFeed(model, 256, "")
 
     def validate():
